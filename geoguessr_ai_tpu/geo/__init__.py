@@ -1,0 +1,19 @@
+from geoguessr_ai_tpu.geo.core import (
+    haversine,
+    haversine_matrix,
+    smooth_labels,
+    lla2ecef,
+    ecef2lla,
+    geoguessr_score,
+    nearest_centroid_labels,
+)
+
+__all__ = [
+    "haversine",
+    "haversine_matrix",
+    "smooth_labels",
+    "lla2ecef",
+    "ecef2lla",
+    "geoguessr_score",
+    "nearest_centroid_labels",
+]
