@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: TinyViT-21M-512 4-heading panorama embedding
+throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver's north-star target of
+5,000 panoramas/sec/chip (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+TARGET_PANOS_PER_S = 5000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
+
+    cfg = TinyViTConfig.tiny_vit_21m_512()
+    model = TinyViT(cfg)
+
+    # Init on host CPU (fast) and transfer — on-device unjitted init through
+    # the remote tunnel takes minutes.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.bfloat16),
+        )
+    device = jax.devices()[0]
+    variables = jax.device_put(variables, device)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+
+    best = 0.0
+    best_bs = 0
+    for batch_imgs in (128, 256):
+        x = jax.device_put(
+            jnp.zeros(
+                (batch_imgs, cfg.image_size, cfg.image_size, 3), jnp.bfloat16
+            ),
+            device,
+        )
+        out = jax.block_until_ready(fwd(variables, x))  # compile
+        # steady-state: pipeline several dispatches
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(variables, x)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        panos_per_s = batch_imgs / 4 / dt
+        print(
+            f"# batch={batch_imgs} imgs: {dt*1e3:.2f} ms "
+            f"-> {panos_per_s:.0f} panos/s",
+            file=sys.stderr,
+        )
+        if panos_per_s > best:
+            best, best_bs = panos_per_s, batch_imgs
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "4-heading panoramas/sec/chip (TinyViT-21M-512 embed, "
+                    f"bf16, batch {best_bs} imgs)"
+                ),
+                "value": round(best, 1),
+                "unit": "panoramas/s/chip",
+                "vs_baseline": round(best / TARGET_PANOS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

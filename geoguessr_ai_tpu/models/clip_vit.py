@@ -1,0 +1,175 @@
+"""CLIP vision transformer in Flax (ViT-L/14-336 preset).
+
+Re-design of the backbone the reference consumes via HF
+``CLIPVisionModel.from_pretrained("openai/clip-vit-large-patch14-336")``
+(/root/reference/pretrain/clip_embedder.py, config.py:6).  TPU-first: NHWC
+patchify via a single conv, bf16 compute with f32 LayerNorms, quick-GELU as
+in CLIP, static 577-token sequence (24x24 patches + CLS) that XLA tiles onto
+the MXU.
+
+The reference's embedding convention is the mean over
+``last_hidden_state`` tokens (clip_embedder.py:63-66); ``__call__`` returns
+both the full token sequence and the pooled (post-LN CLS) output so every
+consumer pattern is covered.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def vit_l_14_336(**overrides) -> "CLIPVisionConfig":
+        return CLIPVisionConfig(**overrides)
+
+    @staticmethod
+    def vit_b_32_224(**overrides) -> "CLIPVisionConfig":
+        return CLIPVisionConfig(
+            image_size=224,
+            patch_size=32,
+            hidden_size=768,
+            num_layers=12,
+            num_heads=12,
+            mlp_dim=3072,
+            **overrides,
+        )
+
+    @staticmethod
+    def test_tiny(**overrides) -> "CLIPVisionConfig":
+        return CLIPVisionConfig(
+            image_size=56,
+            patch_size=14,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=2,
+            mlp_dim=128,
+            **overrides,
+        )
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+
+class CLIPVisionOutput(NamedTuple):
+    last_hidden_state: jax.Array  # (B, 1+P, D)
+    pooler_output: jax.Array  # (B, D) post-LN CLS token
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPEncoderLayer(nn.Module):
+    config: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = cfg.dtype
+
+        h = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1"
+        )(x.astype(jnp.float32)).astype(dtype)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            dtype=dtype,
+            deterministic=True,
+            name="self_attn",
+        )(h, h)
+        x = x + h
+
+        h = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2"
+        )(x.astype(jnp.float32)).astype(dtype)
+        h = nn.Dense(cfg.mlp_dim, dtype=dtype, name="mlp_fc1")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(cfg.hidden_size, dtype=dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class CLIPVisionTower(nn.Module):
+    """CLIP image encoder: conv patchify + CLS + learned pos emb + pre-LN
+    transformer + final LayerNorm."""
+
+    config: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, pixel_values: jax.Array) -> CLIPVisionOutput:
+        cfg = self.config
+        dtype = cfg.dtype
+        B = pixel_values.shape[0]
+
+        x = nn.Conv(
+            cfg.hidden_size,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            use_bias=False,
+            dtype=dtype,
+            name="patch_embedding",
+        )(pixel_values.astype(dtype))
+        x = x.reshape(B, -1, cfg.hidden_size)  # (B, P, D)
+
+        cls = self.param(
+            "class_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.hidden_size,),
+            jnp.float32,
+        )
+        cls = jnp.broadcast_to(
+            cls.astype(dtype), (B, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.seq_len, cfg.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos[None].astype(dtype)
+
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="pre_layrnorm"
+        )(x.astype(jnp.float32)).astype(dtype)
+
+        for i in range(cfg.num_layers):
+            x = CLIPEncoderLayer(cfg, name=f"layer{i}")(x)
+
+        last_hidden = x
+        pooled = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            dtype=jnp.float32,
+            name="post_layernorm",
+        )(x[:, 0].astype(jnp.float32))
+        return CLIPVisionOutput(
+            last_hidden_state=last_hidden, pooler_output=pooled
+        )
+
+
+def clip_mean_token_embedding(out: CLIPVisionOutput) -> jax.Array:
+    """The reference's embedding convention: mean over all tokens of the
+    last hidden state (clip_embedder.py:63-66)."""
+    return jnp.mean(out.last_hidden_state.astype(jnp.float32), axis=1)

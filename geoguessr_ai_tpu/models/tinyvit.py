@@ -1,0 +1,383 @@
+"""TinyViT in Flax, NHWC, TPU-first.
+
+Re-implementation of the TinyViT family (Wu et al., ECCV 2022) as consumed by
+the reference through timm's ``tiny_vit_21m_512.dist_in22k_ft_in1k``
+(/root/reference/models/tinyvit.py:28-53, pretrain/tinyvit_embedder.py).
+This is a from-scratch Flax design, not a port: NHWC layout end-to-end (TPU
+conv layout), static window partitioning that XLA lowers to pure reshapes,
+bf16 compute with f32 params/BN-stats, and stochastic depth as a
+batch-broadcast dropout.
+
+Architecture (21M @ 512):
+  patch_embed: two stride-2 3x3 conv+BN (GELU between)       -> 128x128x96
+  stage 0:     2 x MBConv(expand 4)                          -> 128x128x96
+  merge:       1x1 conv, dw 3x3 s2, 1x1 conv (+BN, GELU)     ->  64x64x192
+  stage 1:     2 x [window-attn(16) + dw local conv + MLP]   ->  64x64x192
+  merge                                                      ->  32x32x384
+  stage 2:     6 x [window-attn(32) + dw local conv + MLP]   ->  32x32x384
+  merge                                                      ->  16x16x576
+  stage 3:     2 x [window-attn(16) + dw local conv + MLP]   ->  16x16x576
+  head:        token mean-pool -> LayerNorm -> (B, 576)
+
+Attention is LeViT-style: LayerNorm -> fused qkv -> per-head learned relative
+attention biases -> proj; q/k/v head dim = dim/num_heads (attn_ratio 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyViTConfig:
+    image_size: int = 512
+    in_channels: int = 3
+    embed_dims: Tuple[int, ...] = (96, 192, 384, 576)
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 18)
+    window_sizes: Tuple[int, ...] = (16, 16, 32, 16)
+    mlp_ratio: float = 4.0
+    mbconv_expand_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
+        return TinyViTConfig(**overrides)
+
+    @staticmethod
+    def tiny_vit_21m_224(**overrides) -> "TinyViTConfig":
+        return TinyViTConfig(
+            image_size=224, window_sizes=(7, 7, 14, 7), **overrides
+        )
+
+    @staticmethod
+    def test_tiny(**overrides) -> "TinyViTConfig":
+        """Miniature config for fast CPU tests."""
+        return TinyViTConfig(
+            image_size=64,
+            embed_dims=(16, 32, 64, 80),
+            depths=(1, 1, 2, 1),
+            num_heads=(1, 2, 4, 5),
+            window_sizes=(2, 2, 4, 2),
+            **overrides,
+        )
+
+    @property
+    def embed_dim(self) -> int:
+        return self.embed_dims[-1]
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm, NHWC.  BN stats live in 'batch_stats'."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=self.kernel // 2,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x.astype(jnp.float32))
+        return x.astype(self.dtype)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: zero a whole sample's residual branch."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class MBConv(nn.Module):
+    """MobileNet-style inverted bottleneck with BN and GELU (conv stage)."""
+
+    features: int
+    expand_ratio: float
+    drop_path: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        hidden = int(x.shape[-1] * self.expand_ratio)
+        shortcut = x
+        x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(
+            hidden, 3, groups=hidden, dtype=self.dtype, name="conv2"
+        )(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(self.features, 1, dtype=self.dtype, name="conv3")(x, train)
+        x = DropPath(self.drop_path)(x, deterministic=not train)
+        x = shortcut + x
+        return nn.gelu(x, approximate=False)
+
+
+class PatchEmbed(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvBN(
+            self.features // 2, 3, stride=2, dtype=self.dtype, name="conv1"
+        )(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(
+            self.features, 3, stride=2, dtype=self.dtype, name="conv2"
+        )(x, train)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """Downsample 2x and change channels: 1x1 -> dw 3x3 s2 -> 1x1 (+BN/GELU)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvBN(self.features, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(
+            self.features,
+            3,
+            stride=2,
+            groups=self.features,
+            dtype=self.dtype,
+            name="conv2",
+        )(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(self.features, 1, dtype=self.dtype, name="conv3")(x, train)
+        return x
+
+
+def _relative_bias_index(window: int) -> np.ndarray:
+    """(N, N) index into the unique-offset bias table for an NxN window."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 2)
+    rel = coords[:, None, :] - coords[None, :, :]  # (N, N, 2)
+    rel = np.abs(rel)
+    offsets = rel[..., 0] * window + rel[..., 1]
+    # re-index to dense unique ids (matches LeViT's dict-of-offsets scheme)
+    uniq, inv = np.unique(offsets, return_inverse=True)
+    return inv.reshape(offsets.shape).astype(np.int32)
+
+
+class WindowAttention(nn.Module):
+    """LeViT-style attention with learned relative biases over one window.
+
+    Input: (B, N, C) window tokens.  Includes its own pre-LayerNorm.
+    """
+
+    dim: int
+    num_heads: int
+    window: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
+
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
+
+        bias_idx = _relative_bias_index(self.window)  # (N, N)
+        num_offsets = int(bias_idx.max()) + 1
+        biases = self.param(
+            "attention_biases",
+            nn.initializers.zeros,
+            (self.num_heads, num_offsets),
+            jnp.float32,
+        )
+        attn_bias = biases[:, bias_idx]  # (H, N, N)
+
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
+        attn = attn * scale + attn_bias[None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(B, N, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    """Pre-norm MLP (TinyViT keeps the LayerNorm inside the MLP block)."""
+
+    hidden: int
+    out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nH*nW, window*window, C).  Static shapes only —
+    this lowers to reshapes/transposes XLA fuses away."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, C)
+
+
+def window_unpartition(
+    x: jax.Array, window: int, hw: Tuple[int, int]
+) -> jax.Array:
+    H, W = hw
+    B = x.shape[0] // ((H // window) * (W // window))
+    x = x.reshape(B, H // window, W // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, -1)
+
+
+class TinyViTBlock(nn.Module):
+    """window attention -> depthwise local conv -> MLP, all residual."""
+
+    dim: int
+    num_heads: int
+    window: int
+    mlp_ratio: float
+    drop_path: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        B, H, W, C = x.shape
+        w = min(self.window, H, W)
+
+        res = x
+        if (H, W) == (w, w):
+            tokens = x.reshape(B, H * W, C)
+            tokens = WindowAttention(
+                self.dim, self.num_heads, w, dtype=self.dtype, name="attn"
+            )(tokens)
+            attn_out = tokens.reshape(B, H, W, C)
+        else:
+            pad_h = (-H) % w
+            pad_w = (-W) % w
+            xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            windows = window_partition(xp, w)
+            windows = WindowAttention(
+                self.dim, self.num_heads, w, dtype=self.dtype, name="attn"
+            )(windows)
+            attn_out = window_unpartition(windows, w, (H + pad_h, W + pad_w))
+            attn_out = attn_out[:, :H, :W, :]
+        x = res + DropPath(self.drop_path)(attn_out, deterministic=not train)
+
+        x = ConvBN(
+            self.dim, 3, groups=self.dim, dtype=self.dtype, name="local_conv"
+        )(x, train)
+
+        mlp_out = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+            name="mlp",
+        )(x.reshape(B, H * W, C)).reshape(B, H, W, C)
+        return x + DropPath(self.drop_path)(mlp_out, deterministic=not train)
+
+
+class TinyViT(nn.Module):
+    """TinyViT feature extractor.  __call__ returns (B, embed_dim) pooled
+    embeddings (the reference consumes timm's num_classes=0 pooled output)."""
+
+    config: TinyViTConfig
+
+    @nn.compact
+    def __call__(self, pixel_values: jax.Array, train: bool = False):
+        cfg = self.config
+        dtype = cfg.dtype
+        x = pixel_values.astype(dtype)
+
+        # Per-block stochastic-depth schedule (linear ramp, timm convention).
+        total_blocks = sum(cfg.depths)
+        dpr = np.linspace(0.0, cfg.drop_path_rate, total_blocks).tolist()
+
+        x = PatchEmbed(cfg.embed_dims[0], dtype=dtype, name="patch_embed")(
+            x, train
+        )
+
+        block_idx = 0
+        for stage in range(len(cfg.depths)):
+            if stage == 0:
+                for d in range(cfg.depths[0]):
+                    x = MBConv(
+                        cfg.embed_dims[0],
+                        cfg.mbconv_expand_ratio,
+                        dpr[block_idx],
+                        dtype=dtype,
+                        name=f"stage0_block{d}",
+                    )(x, train)
+                    block_idx += 1
+            else:
+                for d in range(cfg.depths[stage]):
+                    x = TinyViTBlock(
+                        cfg.embed_dims[stage],
+                        cfg.num_heads[stage],
+                        cfg.window_sizes[stage],
+                        cfg.mlp_ratio,
+                        dpr[block_idx],
+                        dtype=dtype,
+                        name=f"stage{stage}_block{d}",
+                    )(x, train)
+                    block_idx += 1
+            if stage < len(cfg.depths) - 1:
+                x = PatchMerging(
+                    cfg.embed_dims[stage + 1],
+                    dtype=dtype,
+                    name=f"downsample{stage}",
+                )(x, train)
+
+        # Head: token mean-pool then LayerNorm (timm NormMlpClassifierHead
+        # with num_classes=0 returns normed pooled features).
+        x = x.reshape(x.shape[0], -1, cfg.embed_dims[-1])
+        x = jnp.mean(x.astype(jnp.float32), axis=1)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm_head")(x)
+        return x

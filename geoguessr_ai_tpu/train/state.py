@@ -1,0 +1,94 @@
+"""Train state + optimizer construction.
+
+Replaces the reference's AdamW + CosineAnnealingWarmRestarts pairing
+(main_coordinator_idun.py:353-384, :491) with optax equivalents, packaged in
+a flax TrainState extended with BN batch stats and a dropout RNG key so the
+whole training state is one pytree (checkpointable by orbax, shardable by
+pjit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from geoguessr_ai_tpu.config import OptimizerConfig
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+    dropout_rng: Optional[jax.Array] = None
+    # Dynamic sample counter for metrics (step already tracked by parent).
+    epoch: jax.Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def cosine_warm_restarts(
+    base_lr: float,
+    steps_per_cycle: int,
+    t_mult: int = 2,
+    num_cycles: int = 8,
+    warmup_steps: int = 0,
+) -> optax.Schedule:
+    """SGDR: cosine decay restarting with geometrically growing periods.
+
+    Mirrors torch CosineAnnealingWarmRestarts(T_0, T_mult) stepped per epoch
+    in the reference (main_coordinator_idun.py:491).
+    """
+    schedules = []
+    boundaries = []
+    t = max(1, steps_per_cycle)
+    total = 0
+    for _ in range(num_cycles):
+        schedules.append(optax.cosine_decay_schedule(base_lr, t))
+        total += t
+        boundaries.append(total)
+        t *= max(1, t_mult)
+    sched = optax.join_schedules(schedules, boundaries[:-1])
+    if warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        sched = optax.join_schedules([warm, sched], [warmup_steps])
+    return sched
+
+
+def make_optimizer(
+    cfg: OptimizerConfig, steps_per_epoch: int
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    sched = cosine_warm_restarts(
+        cfg.learning_rate,
+        steps_per_cycle=max(1, steps_per_epoch * cfg.cosine_t0),
+        t_mult=cfg.cosine_t_mult,
+        warmup_steps=cfg.warmup_steps,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            sched,
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    return tx, sched
+
+
+def create_train_state(
+    model,
+    variables,
+    optimizer_cfg: OptimizerConfig,
+    steps_per_epoch: int,
+    rng: Optional[jax.Array] = None,
+) -> TrainState:
+    tx, _ = make_optimizer(optimizer_cfg, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        dropout_rng=rng if rng is not None else jax.random.PRNGKey(0),
+        tx=tx,
+    )
