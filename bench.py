@@ -48,13 +48,15 @@ def main() -> None:
             ),
             device,
         )
-        out = jax.block_until_ready(fwd(variables, x))  # compile
-        # steady-state: pipeline several dispatches
+        # Compile, then sync via an explicit host fetch: through the axon
+        # relay, block_until_ready returns before execution finishes, so a
+        # tiny device->host read is the only honest barrier.
+        np.asarray(fwd(variables, x)[0, 0:1])
         iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fwd(variables, x)
-        jax.block_until_ready(out)
+        np.asarray(out[0, 0:1])
         dt = (time.perf_counter() - t0) / iters
         panos_per_s = batch_imgs / 4 / dt
         print(

@@ -1,0 +1,220 @@
+"""Serving engine: build-once, jit-once inference over SuperGuessr.
+
+The shared machinery behind inference.py, run_benchmark.py and the FastAPI
+app — unlike the reference, which rebuilds the model per call site (and in
+run_local_benchmarking.py per *sample*, flagged in SURVEY.md §3.3 as a
+pattern not to copy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoguessr_ai_tpu import config as C
+from geoguessr_ai_tpu.config import BackboneConfig
+from geoguessr_ai_tpu.data.pipeline import decode_jpeg
+from geoguessr_ai_tpu.geocells.manager import CentroidTable
+from geoguessr_ai_tpu.models import SuperGuessr
+from geoguessr_ai_tpu.models.super_guessr import decode_predictions
+from geoguessr_ai_tpu.models.torch_convert import (
+    merge_params,
+    super_guessr_head_from_reference,
+    tinyvit_from_timm,
+    clip_vision_from_hf,
+)
+from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
+from geoguessr_ai_tpu.utils.logging import logger
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    lat: float
+    lon: float
+    top_ids: List[int]
+    top_probs: List[float]
+    top_countries: List[str]
+    top_admin1: List[str]
+    embedding: np.ndarray
+
+
+class ServingEngine:
+    """Holds model params + centroid table; serves panorama batches."""
+
+    def __init__(
+        self,
+        backbone: str = "tinyvit",
+        checkpoint: Optional[str] = None,
+        centroid_table: Optional[CentroidTable] = None,
+        num_candidates: int = C.NUM_CANDIDATES,
+        hierarchical: bool = False,
+    ):
+        from geoguessr_ai_tpu.train.coordinator import build_backbone
+
+        self.table = centroid_table or CentroidTable.load(
+            C.CENTROID_TABLE_PATH
+        )
+        bb_cfg = (
+            BackboneConfig.tinyvit()
+            if backbone == "tinyvit"
+            else BackboneConfig.clip()
+        )
+        bb, mean, std, image_size = build_backbone(bb_cfg)
+        self.image_size = image_size
+        self.norm = (mean, std)
+        self.num_candidates = num_candidates
+        self.model = SuperGuessr(
+            num_cells=self.table.num_cells,
+            backbone=bb,
+            panorama=True,
+            hierarchical=hierarchical,
+            embed_dim=bb_cfg.embed_dim,
+        )
+        # Init on host CPU (fast) — unjitted init through a device tunnel is
+        # minutes; see .claude/skills/verify/SKILL.md.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0),
+                pixel_values=jnp.zeros(
+                    (1, C.NUM_PANORAMA_VIEWS, image_size, image_size, 3),
+                    jnp.bfloat16,
+                ),
+            )
+        if checkpoint:
+            self.load_checkpoint(checkpoint, backbone)
+        self.variables = jax.device_put(self.variables, jax.devices()[0])
+        self.centroids = jax.device_put(
+            jnp.asarray(self.table.centroids), jax.devices()[0]
+        )
+
+        model = self.model
+        k = self.num_candidates
+
+        def _serve(variables, pixel_values, centroids):
+            emb, logits = model.apply(variables, pixel_values=pixel_values)
+            probs, preds, lnglat, topk = decode_predictions(
+                logits, centroids, k
+            )
+            return lnglat, topk.values, topk.indices, emb
+
+        self._serve = jax.jit(_serve)
+
+    # ------------------------------------------------------------------
+
+    def load_checkpoint(self, path: str, backbone: str) -> None:
+        """Load our orbax checkpoint dir or a reference .pt state dict."""
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            tree = {"state": None}  # restore raw
+            restored = ocp.StandardCheckpointer().restore(path)
+            params = restored["state"]["params"]
+            self.variables = dict(self.variables)
+            self.variables["params"] = params
+            if "batch_stats" in restored["state"]:
+                self.variables["batch_stats"] = restored["state"][
+                    "batch_stats"
+                ]
+            logger.info(f"loaded orbax checkpoint {path}")
+            return
+        from geoguessr_ai_tpu.train.checkpoints import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(path)
+        overlay = super_guessr_head_from_reference(
+            sd, num_cells=self.table.num_cells
+        )
+        # backbone weights when present in the state dict
+        bb_sd = {
+            k.split("base_model.", 1)[1]: v
+            for k, v in sd.items()
+            if k.startswith("base_model.")
+        }
+        variables = {k: dict(v) for k, v in self.variables.items()}
+        if bb_sd:
+            try:
+                if backbone == "tinyvit":
+                    from geoguessr_ai_tpu.models.tinyvit import TinyViTConfig
+
+                    strip = {
+                        k.split("backbone.", 1)[-1]: v
+                        for k, v in bb_sd.items()
+                    }
+                    conv = tinyvit_from_timm(
+                        strip, TinyViTConfig.tiny_vit_21m_512()
+                    )
+                    variables["params"]["backbone"] = conv["params"]
+                    variables.setdefault("batch_stats", {})["backbone"] = (
+                        conv["batch_stats"]
+                    )
+                else:
+                    from geoguessr_ai_tpu.models.clip_vit import (
+                        CLIPVisionConfig,
+                    )
+
+                    variables["params"]["backbone"] = clip_vision_from_hf(
+                        bb_sd, CLIPVisionConfig.vit_l_14_336()
+                    )
+            except KeyError as e:
+                logger.warning(f"backbone conversion skipped ({e})")
+        variables["params"] = merge_params(variables["params"], overlay)
+        self.variables = variables
+        logger.info(
+            f"loaded reference checkpoint {path} "
+            f"({len(overlay)} head subtrees, backbone={'yes' if bb_sd else 'no'})"
+        )
+
+    # ------------------------------------------------------------------
+
+    def predict_batch(self, panoramas_u8: np.ndarray) -> List[InferenceResult]:
+        """panoramas_u8: (B, V, H, W, 3) uint8 at self.image_size."""
+        mean, std = self.norm
+        pixels = fused_preprocess(
+            jnp.asarray(panoramas_u8), tuple(mean), tuple(std),
+            self.image_size,
+        )
+        lnglat, top_vals, top_idx, emb = self._serve(
+            self.variables, pixels, self.centroids
+        )
+        lnglat = np.asarray(lnglat)
+        top_vals = np.asarray(top_vals)
+        top_idx = np.asarray(top_idx)
+        emb = np.asarray(emb.astype(jnp.float32))
+        out = []
+        for b in range(lnglat.shape[0]):
+            ids = top_idx[b].tolist()
+            out.append(
+                InferenceResult(
+                    lat=float(lnglat[b, 1]),
+                    lon=float(lnglat[b, 0]),
+                    top_ids=ids,
+                    top_probs=top_vals[b].tolist(),
+                    top_countries=[str(self.table.country[i]) for i in ids],
+                    top_admin1=[str(self.table.admin1[i]) for i in ids],
+                    embedding=emb[b],
+                )
+            )
+        return out
+
+    def predict_images(
+        self, image_paths: Sequence[str]
+    ) -> InferenceResult:
+        """1 or 4 image files -> one panorama prediction (reference
+        inference.py:103-106 accepts exactly 1 or 4)."""
+        if len(image_paths) not in (1, 4):
+            raise ValueError("supply exactly 1 or 4 images")
+        views = np.zeros(
+            (1, C.NUM_PANORAMA_VIEWS, self.image_size, self.image_size, 3),
+            np.uint8,
+        )
+        for v, p in enumerate(image_paths):
+            with open(p, "rb") as f:
+                views[0, v] = decode_jpeg(f.read(), self.image_size)
+        if len(image_paths) == 1:
+            views[0, 1:] = views[0, 0]  # replicate single image across views
+        return self.predict_batch(views)[0]

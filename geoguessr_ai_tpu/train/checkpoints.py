@@ -1,0 +1,163 @@
+"""Checkpoint store: last / best / top-K-with-pruning + resume.
+
+Reproduces the reference's retention scheme (main_coordinator_idun.py:
+509-674) on Orbax: ``last`` every epoch, ``best`` on monitored-metric
+improvement, per-epoch ``epoch_%04d_%.6f`` directories kept only while in
+the top-K (metric parsed back out of the directory name for pruning, exactly
+like the reference's filename-encoded metrics), plus full resume of
+model/optimizer/step/epoch/best state.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_EPOCH_DIR_RE = re.compile(r"^epoch_(\d{4})_(-?[\d.]+)$")
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+@dataclass
+class CheckpointConfig:
+    directory: str
+    keep_top_k: int = 3
+    monitored_mode: str = "min"  # "min" (loss) or "max" (score)
+
+
+class CheckpointStore:
+    """Filesystem layout:
+        <dir>/last/          — newest state (overwritten each save)
+        <dir>/best/          — best monitored metric so far
+        <dir>/epoch_0018_4.610809/ — top-K per-epoch checkpoints
+    """
+
+    def __init__(self, cfg: CheckpointConfig):
+        self.cfg = cfg
+        os.makedirs(cfg.directory, exist_ok=True)
+        self._ckptr = _checkpointer()
+
+    # -- helpers ---------------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(os.path.abspath(self.cfg.directory), name)
+
+    def _is_better(self, value: float, reference: float) -> bool:
+        if self.cfg.monitored_mode == "min":
+            return value < reference
+        return value > reference
+
+    def _epoch_dirs(self) -> List[Tuple[str, int, float]]:
+        out = []
+        for name in os.listdir(self.cfg.directory):
+            m = _EPOCH_DIR_RE.match(name)
+            if m:
+                out.append((name, int(m.group(1)), float(m.group(2))))
+        return out
+
+    def _save_tree(self, name: str, tree: Any) -> None:
+        path = self._path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, tree)
+        self._ckptr.wait_until_finished()
+
+    # -- public API ------------------------------------------------------
+
+    def save_epoch(
+        self,
+        state: Any,
+        epoch: int,
+        monitored_value: float,
+        best_value: Optional[float],
+        extra: Optional[Dict] = None,
+    ) -> float:
+        """Save last/best/top-K for this epoch.  Returns the new best value.
+
+        `state` is any pytree (e.g. train.state.TrainState); `extra` metadata
+        (config, metric names) rides along in the tree.
+        """
+        tree = {
+            "state": state,
+            "meta": {
+                "epoch": np.asarray(epoch, np.int64),
+                "monitored_value": np.asarray(monitored_value, np.float64),
+                "best_value": np.asarray(
+                    best_value if best_value is not None else monitored_value,
+                    np.float64,
+                ),
+                **(extra or {}),
+            },
+        }
+        self._save_tree("last", tree)
+
+        new_best = best_value
+        if best_value is None or self._is_better(monitored_value, best_value):
+            new_best = monitored_value
+            tree["meta"]["best_value"] = np.asarray(new_best, np.float64)
+            self._save_tree("best", tree)
+
+        # per-epoch, metric-encoded name
+        name = f"epoch_{epoch:04d}_{monitored_value:.6f}"
+        self._save_tree(name, tree)
+        self._prune()
+        return float(new_best)
+
+    def _prune(self) -> None:
+        dirs = self._epoch_dirs()
+        if len(dirs) <= self.cfg.keep_top_k:
+            return
+        reverse = self.cfg.monitored_mode == "max"
+        dirs.sort(key=lambda t: t[2], reverse=reverse)
+        for name, _, _ in dirs[self.cfg.keep_top_k :]:
+            shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def kept_epochs(self) -> List[str]:
+        return sorted(n for n, _, _ in self._epoch_dirs())
+
+    def restore(
+        self, target: Any, name: str = "last"
+    ) -> Tuple[Any, Dict]:
+        """Restore (state, meta) from <dir>/<name> into the target pytree
+        structure (reference resume: main_coordinator_idun.py:268-283)."""
+        path = self._path(name)
+        template = {
+            "state": target,
+            "meta": {
+                "epoch": np.zeros((), np.int64),
+                "monitored_value": np.zeros((), np.float64),
+                "best_value": np.zeros((), np.float64),
+            },
+        }
+        restored = self._ckptr.restore(path, target=template)
+        return restored["state"], restored["meta"]
+
+    def has(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference .pt training checkpoint into numpy arrays.
+
+    Unwraps ``model_state_dict`` if present (reference inference.py:126-156)
+    so converters in models/torch_convert.py can map names/shapes across.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model_state_dict" in blob:
+        blob = blob["model_state_dict"]
+    return {
+        k: v.detach().cpu().numpy()
+        for k, v in blob.items()
+        if hasattr(v, "detach")
+    }

@@ -1,0 +1,355 @@
+"""Training coordinator: the production train entry point.
+
+TPU re-design of the reference's main_coordinator_idun(_s3).py: discover the
+newest SQLite dataset, build the panorama table, 90/10 split (val == test,
+no shuffle), construct SuperGuessr over the selected backbone, and run the
+epoch loop — with the per-batch work (preprocess, haversine labels, forward/
+backward, optimizer) compiled into one sharded XLA program, periodic
+validation every `eval_every_steps`, last/best/top-K checkpointing with
+pruning, early stopping on the monitored metric, and W&B/TensorBoard
+logging under the reference's field names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoguessr_ai_tpu import config as C
+from geoguessr_ai_tpu.config import BackboneConfig, TrainConfig
+from geoguessr_ai_tpu.data.pipeline import (
+    PanoramaBatchIterator,
+    prefetch_to_device,
+)
+from geoguessr_ai_tpu.data.sqlite_dataset import (
+    load_sqlite_panorama_dataset,
+    split_train_val,
+)
+from geoguessr_ai_tpu.geocells.manager import CentroidTable
+from geoguessr_ai_tpu.models import (
+    CLIPVisionConfig,
+    CLIPVisionTower,
+    SuperGuessr,
+    TinyViT,
+    TinyViTConfig,
+    clip_mean_token_embedding,
+)
+from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
+from geoguessr_ai_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    put_variables,
+)
+from geoguessr_ai_tpu.train.checkpoints import (
+    CheckpointConfig,
+    CheckpointStore,
+)
+from geoguessr_ai_tpu.train.state import create_train_state
+from geoguessr_ai_tpu.train.steps import make_sharded_steps
+from geoguessr_ai_tpu.utils.logging import MetricsLogger, StepTimer, logger
+
+
+def discover_sqlite(search_dirs: Optional[Iterable[str]] = None) -> str:
+    """Newest dataset_sqlite*.sqlite next to the repo (reference
+    main_coordinator_idun.py:104-127), overridable via DATASET_SQLITE_PATH."""
+    env = os.environ.get("DATASET_SQLITE_PATH")
+    if env:
+        return env
+    if search_dirs is None:
+        search_dirs = [
+            os.path.dirname(C.REPO_ROOT),
+            C.REPO_ROOT,
+            C.DATA_DIR,
+        ]
+    candidates = []
+    for d in search_dirs:
+        candidates.extend(glob.glob(os.path.join(d, "dataset_sqlite*.sqlite")))
+    if not candidates:
+        raise FileNotFoundError(
+            f"no dataset_sqlite*.sqlite found in {list(search_dirs)}"
+        )
+    return max(candidates, key=os.path.getmtime)
+
+
+class _EmbeddingBackbone:
+    """Marker for embedding-only training (no vision tower)."""
+
+
+def build_backbone(cfg: BackboneConfig):
+    """Returns (flax_module, norm_mean, norm_std, image_size)."""
+    if cfg.name == "tinyvit":
+        tv = TinyViTConfig.tiny_vit_21m_512(
+            dtype=jnp.dtype(cfg.dtype).type
+            if isinstance(cfg.dtype, str)
+            else cfg.dtype
+        )
+        return (
+            TinyViT(tv),
+            C.TINYVIT_NORM_MEAN,
+            C.TINYVIT_NORM_STD,
+            tv.image_size,
+        )
+    if cfg.name == "clip":
+
+        class _ClipEmbed(CLIPVisionTower):
+            """CLIP tower returning the reference's mean-token embedding."""
+
+            def __call__(self, pixel_values, train: bool = False):  # noqa: D401
+                out = super().__call__(pixel_values)
+                return clip_mean_token_embedding(out)
+
+        cv = CLIPVisionConfig.vit_l_14_336()
+        return (
+            _ClipEmbed(cv),
+            C.CLIP_NORM_MEAN,
+            C.CLIP_NORM_STD,
+            cv.image_size,
+        )
+    if cfg.name == "none":
+        return _EmbeddingBackbone(), None, None, None
+    raise ValueError(f"unknown backbone {cfg.name!r}")
+
+
+def build_model(cfg: TrainConfig, num_cells: int):
+    backbone, mean, std, image_size = build_backbone(cfg.model.backbone)
+    if isinstance(backbone, _EmbeddingBackbone):
+        backbone = None
+    model = SuperGuessr(
+        num_cells=num_cells,
+        backbone=backbone,
+        panorama=cfg.model.panorama,
+        hierarchical=cfg.model.hierarchical,
+        embed_dim=cfg.model.backbone.embed_dim,
+    )
+    return model, mean, std, image_size
+
+
+def train(
+    cfg: TrainConfig,
+    pano_train,
+    pano_val,
+    centroid_table: CentroidTable,
+    checkpoint_dir: Optional[str] = None,
+    metrics_logger: Optional[MetricsLogger] = None,
+    max_steps: Optional[int] = None,
+) -> Dict:
+    """The train loop (reference train(), main_coordinator_idun.py:224-689).
+
+    Returns a summary dict with final/best metrics.
+    """
+    mesh = create_mesh(cfg.mesh)
+    num_cells = centroid_table.num_cells
+    model, mean, std, image_size = build_model(cfg, num_cells)
+    if image_size is None:
+        image_size = cfg.model.backbone.image_size
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros(
+        (1, C.NUM_PANORAMA_VIEWS, image_size, image_size, 3)
+        if cfg.model.panorama
+        else (1, image_size, image_size, 3),
+        jnp.bfloat16,
+    )
+    if cfg.model.backbone.name == "none":
+        variables = model.init(
+            rng, embedding=jnp.zeros((1, 4, cfg.model.backbone.embed_dim))
+        )
+    else:
+        variables = model.init(rng, pixel_values=sample)
+    variables = put_variables(variables, mesh, cfg.mesh)
+
+    steps_per_epoch = max(1, len(pano_train) // cfg.batch_size)
+    state = create_train_state(
+        model, variables, cfg.optimizer, steps_per_epoch, rng
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    centroids = jax.device_put(
+        jnp.asarray(centroid_table.centroids), NamedSharding(mesh, P())
+    )
+
+    jit_train, jit_eval = make_sharded_steps(
+        mesh, cfg.mesh, cfg.model.should_smooth_labels
+    )
+    data_shard = batch_sharding(mesh, cfg.mesh)
+
+    store = None
+    best_value: Optional[float] = None
+    start_epoch = 0
+    if checkpoint_dir:
+        store = CheckpointStore(
+            CheckpointConfig(
+                directory=checkpoint_dir,
+                keep_top_k=cfg.keep_last_n,
+                monitored_mode=cfg.monitored_mode,
+            )
+        )
+        if cfg.resume_path or store.has("last"):
+            state, meta = store.restore(state, "last")
+            start_epoch = int(meta["epoch"]) + 1
+            best_value = float(meta["best_value"])
+            logger.info(
+                f"resumed from epoch {start_epoch - 1}, "
+                f"best={best_value:.6f}"
+            )
+
+    mlog = metrics_logger or MetricsLogger(run_config=dataclasses.asdict(cfg))
+    timer = StepTimer()
+    norm = (tuple(mean), tuple(std)) if mean is not None else None
+
+    def preprocess(batch):
+        out = {"coords": batch["coords"]}
+        if "pixel_values" in batch and norm is not None:
+            out["pixel_values"] = fused_preprocess(
+                batch["pixel_values"], norm[0], norm[1], image_size
+            )
+        elif "embedding" in batch:
+            out["embedding"] = batch["embedding"]
+        return out
+
+    def run_validation(step):
+        agg = []
+        it = PanoramaBatchIterator(
+            pano_val,
+            cfg.batch_size,
+            image_size,
+            decode_threads=cfg.decode_threads,
+            drop_remainder=True,
+        )
+        for batch in prefetch_to_device(it, depth=cfg.prefetch_depth):
+            batch = jax.device_put(
+                {k: batch[k] for k in ("pixel_values", "coords")}, data_shard
+            )
+            agg.append(jit_eval(state, preprocess(batch), centroids))
+        if not agg:
+            return {}
+        out = {
+            f"val_{k}": float(np.mean([float(m[k]) for m in agg]))
+            for k in agg[0]
+        }
+        mlog.log(out, step)
+        return out
+
+    global_step = 0
+    stale_epochs = 0
+    # If resume already covered all epochs the loop body never runs;
+    # report the resumed position instead of an empty summary.
+    summary: Dict = {
+        "epoch": start_epoch - 1,
+        "global_step": 0,
+        "best_value": best_value,
+        "monitored_value": best_value if best_value is not None else float("nan"),
+    }
+    for epoch in range(start_epoch, cfg.num_epochs):
+        it = PanoramaBatchIterator(
+            pano_train,
+            cfg.batch_size,
+            image_size,
+            shuffle=True,
+            seed=cfg.seed,
+            decode_threads=cfg.decode_threads,
+            drop_remainder=True,
+        )
+        epoch_metrics = []
+        t_epoch = time.perf_counter()
+        for batch in prefetch_to_device(it, depth=cfg.prefetch_depth):
+            batch = jax.device_put(
+                {k: batch[k] for k in ("pixel_values", "coords")}, data_shard
+            )
+            state, metrics = jit_train(state, preprocess(batch), centroids)
+            timer.tick()
+            global_step += 1
+            epoch_metrics.append(metrics)
+            if global_step % cfg.log_every_steps == 0:
+                mlog.log(
+                    {
+                        "train/loss": float(metrics["loss"]),
+                        "train/top1": float(metrics["top1"]),
+                        "train/top5": float(metrics["top5"]),
+                        "train/steps_per_sec": timer.steps_per_sec,
+                    },
+                    global_step,
+                )
+            if (
+                cfg.eval_every_steps
+                and global_step % cfg.eval_every_steps == 0
+                and len(pano_val) >= cfg.batch_size
+            ):
+                run_validation(global_step)
+            if max_steps is not None and global_step >= max_steps:
+                break
+
+        ep = {
+            f"epoch/{k}": float(np.mean([float(m[k]) for m in epoch_metrics]))
+            for k in epoch_metrics[0]
+        } if epoch_metrics else {}
+        ep["epoch/time_s"] = time.perf_counter() - t_epoch
+        mlog.log(ep, global_step)
+
+        val = (
+            run_validation(global_step)
+            if len(pano_val) >= cfg.batch_size
+            else {}
+        )
+        monitored = val.get(
+            cfg.monitored_metric.replace("val_loss", "val_loss"),
+            val.get("val_loss", ep.get("epoch/loss", 0.0)),
+        )
+
+        if store is not None:
+            prev_best = best_value
+            best_value = store.save_epoch(
+                jax.device_get(state), epoch, monitored, best_value
+            )
+            improved = prev_best is None or best_value != prev_best
+        else:
+            improved = best_value is None or monitored < best_value
+            if improved:
+                best_value = monitored
+
+        stale_epochs = 0 if improved else stale_epochs + 1
+        summary = {
+            "epoch": epoch,
+            "global_step": global_step,
+            "monitored_value": monitored,
+            "best_value": best_value,
+            **ep,
+            **val,
+        }
+        if stale_epochs >= cfg.early_stop_patience:
+            logger.info(f"early stop at epoch {epoch}")
+            break
+        if max_steps is not None and global_step >= max_steps:
+            break
+
+    mlog.summary("best_value", best_value)
+    mlog.finish()
+    return summary
+
+
+def main(cfg: Optional[TrainConfig] = None) -> Dict:
+    """CLI entry (reference main(), main_coordinator_idun.py:99)."""
+    cfg = cfg or TrainConfig()
+    sqlite_path = discover_sqlite()
+    logger.info(f"dataset: {sqlite_path}")
+    pano = load_sqlite_panorama_dataset(sqlite_path)
+    pano_train, pano_val = split_train_val(pano, cfg.val_fraction)
+    table = CentroidTable.load(C.CENTROID_TABLE_PATH)
+    return train(
+        cfg,
+        pano_train,
+        pano_val,
+        table,
+        checkpoint_dir=C.CHECKPOINT_DIR,
+    )
+
+
+if __name__ == "__main__":
+    main()

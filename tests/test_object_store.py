@@ -1,0 +1,86 @@
+"""ObjectStore tests over the file:// backend (same code path as s3://)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from geoguessr_ai_tpu.data.s3 import ObjectStore, image_key, location_id
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return ObjectStore(f"file://{tmp_path}/bucket")
+
+
+def test_location_id_is_stable_and_short():
+    a = location_id(59.9139, 10.7522)
+    b = location_id(59.9139, 10.7522)
+    c = location_id(59.9139, 10.7523)
+    assert a == b and a != c
+    assert len(a) == 12
+    # quantization: 1e-8 deg differences collapse
+    assert location_id(59.91390000004, 10.7522) == a
+
+
+def test_upload_manifest_snapshot_roundtrip(store, fixtures_dir):
+    with open(os.path.join(fixtures_dir, "heading=000.jpg"), "rb") as f:
+        blob = f.read()
+    items = [
+        (59.9139, 10.7522, h, blob) for h in (0, 90, 180, 270)
+    ] + [(63.4305, 10.3951, 0, blob)]
+    manifest = store.upload_images(items, threads=4)
+    assert len(manifest) == 5
+    store.write_manifest(manifest)
+    key = store.merge_snapshot()
+    snap = store.load_latest_snapshot_df()
+    assert len(snap) == 5
+    # dedup on (location_id, heading): re-merge stays 5
+    store.write_manifest(manifest)
+    store.merge_snapshot()
+    assert len(store.load_latest_snapshot_df()) == 5
+    # image bytes readable via content address
+    lid = location_id(59.9139, 10.7522)
+    assert store.read_bytes(image_key(lid, 90)) == blob
+
+
+def test_random_panorama_download(store, fixtures_dir, tmp_path):
+    with open(os.path.join(fixtures_dir, "heading=000.jpg"), "rb") as f:
+        blob = f.read()
+    items = [(59.9139, 10.7522, h, blob) for h in (0, 90, 180, 270)]
+    store.write_manifest(store.upload_images(items))
+    store.merge_snapshot(holdout=True)
+    paths, lat, lon = store.download_random_panorama(
+        str(tmp_path / "pano"), holdout=True, seed=0
+    )
+    assert len(paths) == 4
+    assert abs(lat - 59.9139) < 1e-6
+    assert all(os.path.getsize(p) > 0 for p in paths)
+
+
+def test_checkpoint_registry(store, tmp_path):
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "weights.bin").write_bytes(b"abc")
+    (ck / "sub").mkdir()
+    (ck / "sub" / "meta.json").write_bytes(b"{}")
+    store.upload_model_checkpoint(str(ck))
+    import time as _t
+
+    _t.sleep(1.1)  # distinct run_ts
+    (ck / "weights.bin").write_bytes(b"def")
+    store.upload_model_checkpoint(str(ck))
+    runs = store.list_model_checkpoints()
+    assert len(runs) == 2
+    out = store.download_model_checkpoint(str(tmp_path / "dl"), 0)
+    assert open(os.path.join(out, "weights.bin"), "rb").read() == b"def"
+    out1 = store.download_model_checkpoint(str(tmp_path / "dl1"), 1)
+    assert open(os.path.join(out1, "weights.bin"), "rb").read() == b"abc"
+
+
+def test_sqlite_pointer_roundtrip(store, tmp_path):
+    src = tmp_path / "d.sqlite"
+    src.write_bytes(b"sqlite-bytes")
+    store.publish_sqlite(str(src), "raw")
+    out = store.download_latest_sqlite("raw", str(tmp_path / "out.sqlite"))
+    assert open(out, "rb").read() == b"sqlite-bytes"

@@ -1,0 +1,109 @@
+"""Weight-converter parity tests.
+
+The CLIP test is a true numerical parity check: a randomly initialized HF
+``CLIPVisionModel`` (transformers, CPU) is converted to our Flax tower and
+both are run on the same input.  No network/weights needed.
+"""
+
+import numpy as np
+import pytest
+
+from geoguessr_ai_tpu.models.clip_vit import (
+    CLIPVisionConfig,
+    CLIPVisionTower,
+)
+from geoguessr_ai_tpu.models.torch_convert import (
+    clip_vision_from_hf,
+    merge_params,
+    super_guessr_head_from_reference,
+)
+
+
+def test_clip_parity_with_transformers():
+    import jax.numpy as jnp
+    import torch
+    from transformers import CLIPVisionConfig as HFConfig
+    from transformers import CLIPVisionModel
+
+    hf_cfg = HFConfig(
+        image_size=56,
+        patch_size=14,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf_model = CLIPVisionModel(hf_cfg).eval()
+
+    cfg = CLIPVisionConfig(
+        image_size=56,
+        patch_size=14,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        mlp_dim=128,
+        dtype=jnp.float32,
+    )
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = clip_vision_from_hf(sd, cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf_model(
+            pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))
+        )
+    ours = CLIPVisionTower(cfg).apply(
+        {"params": params}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.last_hidden_state),
+        hf_out.last_hidden_state.numpy(),
+        atol=2e-4,
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.pooler_output),
+        hf_out.pooler_output.numpy(),
+        atol=2e-4,
+        rtol=1e-3,
+    )
+
+
+def test_super_guessr_head_conversion_shape_filter():
+    rng = np.random.default_rng(1)
+    sd = {
+        "cell_layer.weight": rng.normal(size=(37, 16)).astype(np.float32),
+        "cell_layer.bias": rng.normal(size=(37,)).astype(np.float32),
+    }
+    out = super_guessr_head_from_reference(sd, num_cells=37)
+    assert out["cell_layer"]["kernel"].shape == (16, 37)
+    # mismatched num_cells -> skipped (reference shape-filtered load)
+    out2 = super_guessr_head_from_reference(sd, num_cells=99)
+    assert "cell_layer" not in out2
+
+
+def test_head_conversion_applies_to_model():
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models import SuperGuessr
+
+    rng = np.random.default_rng(2)
+    sd = {
+        "cell_layer.weight": rng.normal(size=(8, 16)).astype(np.float32),
+        "cell_layer.bias": np.zeros(8, np.float32),
+    }
+    model = SuperGuessr(
+        num_cells=8, backbone=None, panorama=True, embed_dim=16,
+        dtype=jnp.float32,
+    )
+    e = jnp.asarray(rng.normal(size=(2, 4, 16)), dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), embedding=e)
+    overlay = super_guessr_head_from_reference(sd, num_cells=8)
+    params = merge_params(variables["params"], overlay)
+    emb, logits = model.apply({"params": params}, embedding=e)
+    want = np.asarray(e.mean(axis=1)) @ sd["cell_layer.weight"].T
+    np.testing.assert_allclose(np.asarray(logits), want, atol=1e-5)

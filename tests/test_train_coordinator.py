@@ -1,0 +1,156 @@
+"""End-to-end coordinator test: synthetic SQLite -> train -> checkpoint ->
+resume, all on the 8-device CPU mesh with a tiny backbone."""
+
+import os
+
+import numpy as np
+import pytest
+
+from geoguessr_ai_tpu.config import (
+    BackboneConfig,
+    MeshConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from geoguessr_ai_tpu.data.sqlite_dataset import (
+    create_sqlite_from_records,
+    load_sqlite_panorama_dataset,
+    split_train_val,
+)
+from geoguessr_ai_tpu.geocells.manager import CentroidTable
+from geoguessr_ai_tpu.train.checkpoints import (
+    CheckpointConfig,
+    CheckpointStore,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.tinyvit import TinyViTConfig
+
+    # monkeypatch-free: use the "none"-style small backbone via image_size 64
+    return TrainConfig(
+        seed=0,
+        batch_size=8,
+        num_epochs=2,
+        eval_every_steps=0,
+        log_every_steps=10,
+        keep_last_n=2,
+        early_stop_patience=100,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        mesh=MeshConfig(data_parallel=8, model_parallel=1),
+        model=ModelConfig(
+            backbone=BackboneConfig(
+                name="tinyvit", image_size=64, embed_dim=80
+            ),
+            panorama=True,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory, fixtures_dir):
+    path = str(tmp_path_factory.mktemp("db") / "dataset_sqlite_e2e.sqlite")
+    with open(os.path.join(fixtures_dir, "heading=000.jpg"), "rb") as f:
+        blob = f.read()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(24):
+        lat = float(rng.uniform(-60, 60))
+        lon = float(rng.uniform(-170, 170))
+        for h in (0, 90, 180, 270):
+            records.append(
+                {
+                    "location_id": f"loc{i:04d}",
+                    "lat": lat,
+                    "lon": lon,
+                    "heading": h,
+                    "image": blob,
+                }
+            )
+    create_sqlite_from_records(path, records)
+    return path
+
+
+@pytest.fixture(scope="module")
+def centroid_table():
+    rng = np.random.default_rng(3)
+    n = 16
+    return CentroidTable(
+        centroids=np.stack(
+            [rng.uniform(-170, 170, n), rng.uniform(-60, 60, n)], axis=-1
+        ).astype(np.float32),
+        country=np.array(["X"] * n),
+        admin1=np.array(["Y"] * n),
+        cell_id=np.array([str(i) for i in range(n)]),
+    )
+
+
+def _tiny_train(tiny_cfg, dataset, centroid_table, ckpt_dir, max_steps):
+    """Run train() with the test-size TinyViT by patching the builder."""
+    import jax.numpy as jnp
+
+    import geoguessr_ai_tpu.train.coordinator as coord
+    from geoguessr_ai_tpu.config import (
+        TINYVIT_NORM_MEAN,
+        TINYVIT_NORM_STD,
+    )
+    from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
+
+    orig = coord.build_backbone
+
+    def tiny_builder(cfg):
+        tv = TinyViTConfig.test_tiny(dtype=jnp.float32)
+        return TinyViT(tv), TINYVIT_NORM_MEAN, TINYVIT_NORM_STD, tv.image_size
+
+    coord.build_backbone = tiny_builder
+    try:
+        pano = load_sqlite_panorama_dataset(dataset)
+        train_df, val_df = split_train_val(pano, 0.25)
+        return coord.train(
+            tiny_cfg,
+            train_df,
+            val_df,
+            centroid_table,
+            checkpoint_dir=ckpt_dir,
+            max_steps=max_steps,
+        )
+    finally:
+        coord.build_backbone = orig
+
+
+def test_train_end_to_end_with_checkpoints(
+    tiny_cfg, dataset, centroid_table, tmp_path
+):
+    ckpt_dir = str(tmp_path / "ckpts")
+    summary = _tiny_train(tiny_cfg, dataset, centroid_table, ckpt_dir, 4)
+    assert np.isfinite(summary["monitored_value"])
+    assert summary["global_step"] >= 2
+    # checkpoint layout: last + best + per-epoch dirs
+    names = os.listdir(ckpt_dir)
+    assert "last" in names and "best" in names
+    assert any(n.startswith("epoch_") for n in names)
+
+    # resume: second run starts from saved epoch
+    summary2 = _tiny_train(tiny_cfg, dataset, centroid_table, ckpt_dir, 2)
+    assert summary2["epoch"] >= summary["epoch"]
+
+
+def test_checkpoint_store_topk_pruning(tmp_path):
+    store = CheckpointStore(
+        CheckpointConfig(directory=str(tmp_path), keep_top_k=2)
+    )
+    state = {"w": np.arange(4.0)}
+    best = None
+    for epoch, loss in enumerate([5.0, 3.0, 4.0, 2.0]):
+        best = store.save_epoch(state, epoch, loss, best)
+    assert best == 2.0
+    kept = store.kept_epochs()
+    # top-2 by min loss: epochs 3 (2.0) and 1 (3.0)
+    assert kept == ["epoch_0001_3.000000", "epoch_0003_2.000000"]
+    restored, meta = store.restore({"w": np.zeros(4)}, "best")
+    np.testing.assert_array_equal(restored["w"], np.arange(4.0))
+    assert float(meta["monitored_value"]) == 2.0
