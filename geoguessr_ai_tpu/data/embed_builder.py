@@ -1,0 +1,165 @@
+"""Embedding-dataset builder: batch TPU inference writing SQLite.
+
+Re-design of the reference's GPU embedding builders (backend/s3bucket.py:
+786-1094 CLIP, :1097-1396 TinyViT): a host thread pool decodes JPEGs into a
+bounded queue while the TPU runs a jitted embed step on fixed-size batches;
+a single writer thread batches INSERTs (reference's single-writer WAL
+discipline).  float32 embedding blobs + embedding_dim column, schema
+identical to the reference so readers interoperate.
+
+This is the workload behind BASELINE.json's panoramas/sec/chip metric.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from geoguessr_ai_tpu import config as C
+from geoguessr_ai_tpu.config import BackboneConfig, EmbedBuildConfig
+from geoguessr_ai_tpu.data.pipeline import ThroughputMeter, decode_jpeg
+from geoguessr_ai_tpu.data.sqlite_dataset import (
+    create_sqlite_from_records,
+    load_sqlite_dataset,
+)
+from geoguessr_ai_tpu.utils.logging import logger
+
+
+class Embedder:
+    """Jit-once batch embedder over a vision backbone."""
+
+    def __init__(self, backbone_cfg: BackboneConfig):
+        import jax
+        import jax.numpy as jnp
+
+        from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
+        from geoguessr_ai_tpu.train.coordinator import build_backbone
+
+        module, mean, std, image_size = build_backbone(backbone_cfg)
+        self.image_size = image_size
+        self.embed_dim = backbone_cfg.embed_dim
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            self.variables = module.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
+            )
+        self.variables = jax.device_put(self.variables, jax.devices()[0])
+
+        def embed(variables, images_u8):
+            x = fused_preprocess(
+                images_u8, tuple(mean), tuple(std), image_size
+            )
+            return module.apply(variables, x).astype(jnp.float32)
+
+        self._embed = jax.jit(embed)
+
+    def load_params(self, variables) -> None:
+        import jax
+
+        self.variables = jax.device_put(variables, jax.devices()[0])
+
+    def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(self._embed(self.variables, images_u8))
+
+
+def build_embedding_sqlite(
+    src_sqlite: str,
+    out_sqlite: str,
+    cfg: EmbedBuildConfig = EmbedBuildConfig(),
+    embedder: Optional[Embedder] = None,
+    limit: Optional[int] = None,
+    log_fn=None,
+) -> int:
+    """Embed every image row of a raw SQLite into an embedding SQLite.
+
+    Returns rows written.  Telemetry records mode/processed/total/
+    throughput_img_per_s/phase like the reference (s3bucket.py:960-970).
+    """
+    df = load_sqlite_dataset(src_sqlite)
+    if limit:
+        df = df.iloc[:limit]
+    total = len(df)
+    embedder = embedder or Embedder(cfg.backbone)
+    meter = ThroughputMeter(
+        mode=f"embed_{cfg.backbone.name}", total=total, log_fn=log_fn
+    )
+
+    decoded_q: "queue.Queue" = queue.Queue(maxsize=4)
+    B = cfg.batch_size
+
+    def producer():
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(cfg.fetch_threads) as pool:
+            batch_rows = []
+            for row in df.itertuples():
+                batch_rows.append(row)
+                if len(batch_rows) == B:
+                    imgs = np.stack(
+                        list(
+                            pool.map(
+                                lambda r: decode_jpeg(
+                                    r.image, embedder.image_size
+                                ),
+                                batch_rows,
+                            )
+                        )
+                    )
+                    decoded_q.put((batch_rows, imgs))
+                    batch_rows = []
+            if batch_rows:
+                imgs = np.stack(
+                    list(
+                        pool.map(
+                            lambda r: decode_jpeg(
+                                r.image, embedder.image_size
+                            ),
+                            batch_rows,
+                        )
+                    )
+                )
+                decoded_q.put((batch_rows, imgs))
+        decoded_q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    def record_stream() -> Iterable[Dict]:
+        while True:
+            item = decoded_q.get()
+            if item is None:
+                break
+            rows, imgs = item
+            n_real = len(rows)
+            if n_real < B:  # pad to the jitted batch shape
+                imgs = np.concatenate(
+                    [imgs, np.zeros((B - n_real,) + imgs.shape[1:], imgs.dtype)]
+                )
+            embs = embedder(imgs)[:n_real]
+            meter.update(n_real, phase="embed")
+            for row, emb in zip(rows, embs):
+                yield {
+                    "location_id": row.location_id,
+                    "lat": float(row.lat),
+                    "lon": float(row.lon),
+                    "heading": int(row.heading),
+                    "capture_date": getattr(row, "capture_date", None),
+                    "pano_id": getattr(row, "pano_id", None),
+                    "batch_date": getattr(row, "batch_date", None),
+                    "embedding": np.asarray(emb, np.float32).tobytes(),
+                    "embedding_dim": int(emb.shape[-1]),
+                }
+
+    written = create_sqlite_from_records(
+        out_sqlite, record_stream(), embedding=True
+    )
+    t.join()
+    logger.info(
+        f"embedded {written}/{total} rows -> {out_sqlite} "
+        f"({meter.update(0)['throughput_img_per_s']:.0f} img/s)"
+    )
+    return written

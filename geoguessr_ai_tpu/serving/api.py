@@ -1,0 +1,154 @@
+"""FastAPI serving app — actually wired to the inference engine.
+
+The reference's API is a stub with dummy routes and a broken import
+(backend/api.py:39-91, main.py:3); here the same route surface is
+implemented against ServingEngine:
+
+  GET  /                      — service info
+  GET  /health                — liveness
+  POST /submit_image/         — upload 1-4 images, returns submission id
+  GET  /prediction/{id}       — prediction for a submission
+  GET  /predicition/{id}      — [sic] alias kept for reference-client compat
+  GET  /model/{id}            — model metadata
+  GET  /image/{id}            — echo a submitted image
+
+FastAPI is an optional dependency; ``create_app()`` raises a clear error
+without it, and ``geoguessr_ai_tpu.serving`` imports fine regardless.
+"""
+
+from __future__ import annotations
+
+import io
+import itertools
+import threading
+from typing import Dict, List, Optional
+
+
+def create_app(engine=None, backbone: str = "tinyvit",
+               checkpoint: Optional[str] = None):
+    try:
+        from fastapi import FastAPI, File, HTTPException, UploadFile
+        from fastapi.responses import Response
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "fastapi is not installed; pip install 'geoguessr-ai-tpu[serving]'"
+        ) from e
+
+    app = FastAPI(title="geoguessr-ai-tpu", version="0.1.0")
+    state: Dict = {
+        "engine": engine,
+        "submissions": {},
+        "counter": itertools.count(1),
+        "lock": threading.Lock(),
+    }
+
+    def get_engine():
+        if state["engine"] is None:
+            from geoguessr_ai_tpu.serving.engine import ServingEngine
+
+            state["engine"] = ServingEngine(
+                backbone=backbone, checkpoint=checkpoint
+            )
+        return state["engine"]
+
+    @app.get("/")
+    def root():
+        return {
+            "service": "geoguessr-ai-tpu",
+            "model": backbone,
+            "endpoints": [
+                "/health",
+                "/submit_image/",
+                "/prediction/{id}",
+                "/model/{id}",
+                "/image/{id}",
+            ],
+        }
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok"}
+
+    @app.get("/model/{model_id}")
+    def model_info(model_id: str):
+        eng = get_engine()
+        return {
+            "model_id": model_id,
+            "backbone": backbone,
+            "num_cells": eng.table.num_cells,
+            "image_size": eng.image_size,
+        }
+
+    @app.post("/submit_image/")
+    async def submit_image(files: List[UploadFile] = File(...)):
+        if len(files) not in (1, 4):
+            raise HTTPException(400, "submit exactly 1 or 4 images")
+        blobs = [await f.read() for f in files]
+        with state["lock"]:
+            sid = next(state["counter"])
+            state["submissions"][sid] = {"blobs": blobs, "result": None}
+        return {"submission_id": sid, "num_images": len(blobs)}
+
+    def _predict(sid: int):
+        sub = state["submissions"].get(sid)
+        if sub is None:
+            raise HTTPException(404, f"submission {sid} not found")
+        if sub["result"] is None:
+            import numpy as np
+
+            from geoguessr_ai_tpu.data.pipeline import decode_jpeg
+
+            eng = get_engine()
+            views = np.zeros(
+                (1, 4, eng.image_size, eng.image_size, 3), np.uint8
+            )
+            for v, blob in enumerate(sub["blobs"][:4]):
+                views[0, v] = decode_jpeg(blob, eng.image_size)
+            if len(sub["blobs"]) == 1:
+                views[0, 1:] = views[0, 0]
+            r = eng.predict_batch(views)[0]
+            sub["result"] = {
+                "lat": r.lat,
+                "lon": r.lon,
+                "top": [
+                    {
+                        "geocell_index": i,
+                        "prob": p,
+                        "country": c,
+                        "admin1": a,
+                    }
+                    for i, p, c, a in zip(
+                        r.top_ids, r.top_probs, r.top_countries, r.top_admin1
+                    )
+                ],
+            }
+        return sub["result"]
+
+    @app.get("/prediction/{sid}")
+    def prediction(sid: int):
+        return _predict(sid)
+
+    # Reference route name typo preserved for client compatibility
+    # (backend/api.py:84 "/predicition/{id}").
+    @app.get("/predicition/{sid}")
+    def predicition(sid: int):
+        return _predict(sid)
+
+    @app.get("/image/{sid}")
+    def image(sid: int):
+        sub = state["submissions"].get(sid)
+        if sub is None:
+            raise HTTPException(404, f"submission {sid} not found")
+        return Response(content=sub["blobs"][0], media_type="image/jpeg")
+
+    return app
+
+
+def main():  # pragma: no cover
+    import uvicorn
+
+    uvicorn.run(create_app(), host="0.0.0.0", port=8000)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,97 @@
+"""Embedding-builder end-to-end test on the CPU backend with a tiny
+backbone."""
+
+import os
+
+import numpy as np
+import pytest
+
+from geoguessr_ai_tpu.config import BackboneConfig, EmbedBuildConfig
+from geoguessr_ai_tpu.data.embed_builder import Embedder, build_embedding_sqlite
+from geoguessr_ai_tpu.data.sqlite_dataset import (
+    create_sqlite_from_records,
+    read_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_sqlite(tmp_path_factory, fixtures_dir):
+    path = str(tmp_path_factory.mktemp("db") / "raw.sqlite")
+    with open(os.path.join(fixtures_dir, "heading=000.jpg"), "rb") as f:
+        blob = f.read()
+    records = []
+    for i in range(10):
+        records.append(
+            {
+                "location_id": f"loc{i}",
+                "lat": float(i),
+                "lon": float(-i),
+                "heading": 0,
+                "image": blob,
+            }
+        )
+    create_sqlite_from_records(path, records)
+    return path
+
+
+class _TinyEmbedder(Embedder):
+    """Embedder over the test-size TinyViT (CPU-fast)."""
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        from geoguessr_ai_tpu.config import (
+            TINYVIT_NORM_MEAN,
+            TINYVIT_NORM_STD,
+        )
+        from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
+        from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
+
+        cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+        module = TinyViT(cfg)
+        self.image_size = cfg.image_size
+        self.embed_dim = cfg.embed_dim
+        self.variables = module.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )
+
+        def embed(variables, images_u8):
+            x = fused_preprocess(
+                images_u8,
+                TINYVIT_NORM_MEAN,
+                TINYVIT_NORM_STD,
+                cfg.image_size,
+                dtype=jnp.float32,
+            )
+            return module.apply(variables, x)
+
+        self._embed = jax.jit(embed)
+
+
+def test_build_embedding_sqlite_roundtrip(raw_sqlite, tmp_path):
+    out = str(tmp_path / "emb.sqlite")
+    telemetry = []
+    written = build_embedding_sqlite(
+        raw_sqlite,
+        out,
+        EmbedBuildConfig(batch_size=4, fetch_threads=2),
+        embedder=_TinyEmbedder(),
+        log_fn=telemetry.append,
+    )
+    assert written == 10
+    df = read_embeddings(out)
+    assert len(df) == 10
+    emb = np.stack(df["embedding"].to_list())
+    assert emb.shape == (10, 80)
+    assert np.isfinite(emb).all()
+    # identical inputs -> identical embeddings (deterministic, padded batch
+    # does not contaminate real rows)
+    assert np.allclose(emb[0], emb[9], atol=1e-5)
+    # telemetry carries the reference's fields
+    assert telemetry and {"mode", "processed", "total",
+                          "throughput_img_per_s", "phase"} <= set(
+        telemetry[0]
+    )
+    assert telemetry[-1]["processed"] == 10
