@@ -53,6 +53,12 @@ class TinyViTConfig:
     #: tanh-approximated GELU is ~2.2x faster than exact erf GELU on the TPU
     #: VPU and differs by <1e-3; set True only for strict timm-weight parity.
     exact_gelu: bool = False
+    #: Fused Pallas window attention (ops/window_attention.py).  Off by
+    #: default: measured on v5e the XLA lowering wins at TinyViT's window
+    #: shapes (33 vs 94 ms at N=256, 34 vs 787 ms at N=1024 for B=128) —
+    #: the per-(window, head) grid cells are too small to amortize grid
+    #: overhead.  Kept for future block-batched tuning.
+    pallas_attention: bool = False
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -252,6 +258,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window: int
     dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -277,13 +284,26 @@ class WindowAttention(nn.Module):
         )
         attn_bias = biases[:, bias_idx]  # (H, N, N)
 
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        )
-        attn = attn * scale + attn_bias[None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
-        out = out.reshape(B, N, self.dim)
+        # Pallas fused path: keeps the (N, N) scores in VMEM (the XLA path
+        # materializes them f32 in HBM).  Needs lane-aligned N.
+        if self.use_pallas and N % 128 == 0:
+            from geoguessr_ai_tpu.ops.window_attention import (
+                window_attention,
+            )
+
+            qt = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            out = window_attention(qt, kt, vt, attn_bias, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+        else:
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            )
+            attn = attn * scale + attn_bias[None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+            out = out.reshape(B, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -334,6 +354,7 @@ class TinyViTBlock(nn.Module):
     drop_path: float
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -344,7 +365,12 @@ class TinyViTBlock(nn.Module):
         if (H, W) == (w, w):
             tokens = x.reshape(B, H * W, C)
             tokens = WindowAttention(
-                self.dim, self.num_heads, w, dtype=self.dtype, name="attn"
+                self.dim,
+                self.num_heads,
+                w,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                name="attn",
             )(tokens)
             attn_out = tokens.reshape(B, H, W, C)
         else:
@@ -353,7 +379,12 @@ class TinyViTBlock(nn.Module):
             xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             windows = window_partition(xp, w)
             windows = WindowAttention(
-                self.dim, self.num_heads, w, dtype=self.dtype, name="attn"
+                self.dim,
+                self.num_heads,
+                w,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                name="attn",
             )(windows)
             attn_out = window_unpartition(windows, w, (H + pad_h, W + pad_w))
             attn_out = attn_out[:, :H, :W, :]
@@ -384,6 +415,10 @@ class TinyViT(nn.Module):
         cfg = self.config
         dtype = cfg.dtype
         x = pixel_values.astype(dtype)
+
+        from geoguessr_ai_tpu.ops.window_attention import supports_pallas
+
+        use_pallas = cfg.pallas_attention and supports_pallas()
 
         # Per-block stochastic-depth schedule (linear ramp, timm convention).
         total_blocks = sum(cfg.depths)
@@ -419,6 +454,7 @@ class TinyViT(nn.Module):
                         dpr[block_idx],
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
+                        use_pallas_attention=use_pallas,
                         name=f"stage{stage}_block{d}",
                     )(x, train)
                     block_idx += 1

@@ -1,0 +1,240 @@
+"""Self-contained deck.gl globe HTML generation.
+
+Replaces the reference's pydeck visualizers (visualize_guesses*.py,
+geocell_visualizer.py, ~2k LoC, SURVEY.md §2.4) without the pydeck
+dependency: layers are serialized to JSON and embedded in a single HTML
+file that loads deck.gl from a CDN (same deployment model as pydeck's
+output — the generated file is viewed in a browser).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html>
+<head>
+  <meta charset="utf-8"/>
+  <title>{title}</title>
+  <script src="https://unpkg.com/deck.gl@9.0.0/dist.min.js"></script>
+  <style>
+    body {{ margin: 0; background: #0b0e1a; }}
+    #tooltip {{ position: absolute; z-index: 2; pointer-events: none;
+               background: rgba(0,0,0,.8); color: #fff; padding: 6px 8px;
+               font: 12px sans-serif; border-radius: 4px; display: none; }}
+  </style>
+</head>
+<body>
+<div id="tooltip"></div>
+<script>
+  const layersSpec = {layers_json};
+  const layerCtors = {{
+    ArcLayer: deck.ArcLayer,
+    ScatterplotLayer: deck.ScatterplotLayer,
+    GeoJsonLayer: deck.GeoJsonLayer,
+    LineLayer: deck.LineLayer,
+  }};
+  const layers = layersSpec.map(spec => {{
+    const Ctor = layerCtors[spec.type];
+    const accessors = {{}};
+    for (const [k, v] of Object.entries(spec.accessors || {{}})) {{
+      accessors[k] = typeof v === "string" ? d => d[v] : v;
+    }}
+    return new Ctor({{id: spec.id, data: spec.data, pickable: true,
+                     ...spec.props, ...accessors}});
+  }});
+  new deck.DeckGL({{
+    container: document.body,
+    views: new deck._GlobeView(),
+    initialViewState: {view_state},
+    controller: true,
+    layers,
+    getTooltip: ({{object}}) => object && object.tooltip,
+    parameters: {{clearColor: [0.04, 0.05, 0.1, 1]}},
+  }});
+</script>
+</body>
+</html>
+"""
+
+
+def _color_by_distance(distance_km: float) -> List[int]:
+    """Green (close) -> red (far) ramp used by the reference's guess arcs."""
+    t = min(max(distance_km / 5000.0, 0.0), 1.0)
+    return [int(255 * t), int(200 * (1 - t)), 60, 200]
+
+
+def write_globe_html(
+    layers: List[Dict],
+    out_path: str,
+    title: str = "geoguessr-ai-tpu",
+    view_state: Optional[Dict] = None,
+) -> str:
+    view_state = view_state or {
+        "longitude": 10.0,
+        "latitude": 30.0,
+        "zoom": 0.6,
+    }
+    html = _HTML_TEMPLATE.format(
+        title=title,
+        layers_json=json.dumps(layers),
+        view_state=json.dumps(view_state),
+    )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(html)
+    return out_path
+
+
+def guesses_layers(records: Sequence[Dict]) -> List[Dict]:
+    """Arc layer gt -> prediction colored by distance + endpoints
+    (reference visualize_guesses.py behavior over
+    inference_results.json)."""
+    arcs = []
+    gts = []
+    preds = []
+    for r in records:
+        if r.get("summary"):
+            continue
+        d = float(r["distance_km"])
+        arcs.append(
+            {
+                "source": [r["gt_lon"], r["gt_lat"]],
+                "target": [r["pred_lon"], r["pred_lat"]],
+                "color": _color_by_distance(d),
+                "tooltip": f"{d:.0f} km, score {r.get('score', 0):.0f}",
+            }
+        )
+        gts.append(
+            {
+                "position": [r["gt_lon"], r["gt_lat"]],
+                "color": [80, 220, 120, 255],
+                "tooltip": "ground truth",
+            }
+        )
+        preds.append(
+            {
+                "position": [r["pred_lon"], r["pred_lat"]],
+                "color": [240, 80, 80, 255],
+                "tooltip": "prediction",
+            }
+        )
+    return [
+        {
+            "type": "ArcLayer",
+            "id": "guess-arcs",
+            "data": arcs,
+            "props": {"getWidth": 2, "greatCircle": True},
+            "accessors": {
+                "getSourcePosition": "source",
+                "getTargetPosition": "target",
+                "getSourceColor": "color",
+                "getTargetColor": "color",
+            },
+        },
+        {
+            "type": "ScatterplotLayer",
+            "id": "gt-points",
+            "data": gts,
+            "props": {"radiusMinPixels": 3},
+            "accessors": {
+                "getPosition": "position",
+                "getFillColor": "color",
+            },
+        },
+        {
+            "type": "ScatterplotLayer",
+            "id": "pred-points",
+            "data": preds,
+            "props": {"radiusMinPixels": 3},
+            "accessors": {
+                "getPosition": "position",
+                "getFillColor": "color",
+            },
+        },
+    ]
+
+
+def visualize_guesses(
+    results_json: str,
+    out_path: str = "data/out/guesses_globe.html",
+) -> str:
+    """inference_results.json -> globe HTML (reference
+    visualize_guesses.py / visualize_guesses_pydeck.py)."""
+    with open(results_json) as f:
+        records = json.load(f)
+    return write_globe_html(
+        guesses_layers(records), out_path, title="guess arcs"
+    )
+
+
+def visualize_geocells(
+    centroid_table,
+    out_path: str = "data/out/geocells_globe.html",
+    max_cells: Optional[int] = None,
+) -> str:
+    """Centroid scatter colored by country hash (reference
+    geocell_visualizer.py / visualize_finished_geocells.py)."""
+    data = []
+    n = centroid_table.num_cells if max_cells is None else min(
+        max_cells, centroid_table.num_cells
+    )
+    for i in range(n):
+        country = str(centroid_table.country[i])
+        h = hash(country)
+        data.append(
+            {
+                "position": [
+                    float(centroid_table.centroids[i, 0]),
+                    float(centroid_table.centroids[i, 1]),
+                ],
+                "color": [
+                    64 + (h % 191),
+                    64 + ((h // 191) % 191),
+                    64 + ((h // 36481) % 191),
+                    220,
+                ],
+                "tooltip": f"{country} / {centroid_table.admin1[i]}",
+            }
+        )
+    layers = [
+        {
+            "type": "ScatterplotLayer",
+            "id": "geocells",
+            "data": data,
+            "props": {"radiusMinPixels": 2},
+            "accessors": {
+                "getPosition": "position",
+                "getFillColor": "color",
+            },
+        }
+    ]
+    return write_globe_html(layers, out_path, title="geocells")
+
+
+def visualize_single_guess(
+    gt_lat: float,
+    gt_lon: float,
+    pred_lat: float,
+    pred_lon: float,
+    distance_km: float,
+    score: float,
+    out_path: str = "data/out/single_guess.html",
+) -> str:
+    """One-guess globe (reference run_local_inference.py:94-279)."""
+    rec = {
+        "gt_lat": gt_lat,
+        "gt_lon": gt_lon,
+        "pred_lat": pred_lat,
+        "pred_lon": pred_lon,
+        "distance_km": distance_km,
+        "score": score,
+    }
+    return write_globe_html(
+        guesses_layers([rec]),
+        out_path,
+        title=f"guess: {distance_km:.0f} km, {score:.0f} pts",
+        view_state={"longitude": gt_lon, "latitude": gt_lat, "zoom": 1.5},
+    )
