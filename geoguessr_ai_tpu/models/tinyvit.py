@@ -300,8 +300,13 @@ class WindowAttention(nn.Module):
             attn = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
             )
-            attn = attn * scale + attn_bias[None]
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            # Store scores in compute dtype (scale+bias+cast fuse into the
+            # matmul epilogue) — halves the HBM traffic of the dominant
+            # (B*nW, H, N, N) tensor; softmax still reduces in f32.
+            attn = (attn * scale + attn_bias[None]).astype(self.dtype)
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
             out = out.reshape(B, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)

@@ -1,0 +1,113 @@
+"""Tests: visualizers, naive cells, voronoi, metrics summary, profiler."""
+
+import json
+import os
+
+import numpy as np
+
+from geoguessr_ai_tpu.eval.metrics import (
+    geoguessr_score_np,
+    haversine_km_np,
+    summarize_results,
+)
+from geoguessr_ai_tpu.geocells.naive_cell import partition
+from geoguessr_ai_tpu.geocells.voronoi import voronoi_finite_polygons_2d
+from geoguessr_ai_tpu.viz.globe import (
+    guesses_layers,
+    visualize_geocells,
+    visualize_guesses,
+    write_globe_html,
+)
+
+
+def test_naive_partition_counts():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-50, 50, (500, 2))
+    cells = partition(pts, 16)
+    assert len(cells) == 16
+    assert sum(len(c) for c in cells) == 500
+    # balanced-ish: no cell hoards more than half the points
+    assert max(len(c) for c in cells) < 250
+
+
+def test_voronoi_finite_regions():
+    from scipy.spatial import Voronoi
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 10, (20, 2))
+    vor = Voronoi(pts)
+    regions, vertices = voronoi_finite_polygons_2d(vor)
+    assert len(regions) == 20
+    assert all(len(r) >= 3 for r in regions)
+    assert np.isfinite(vertices).all()
+
+
+def test_benchmark_metrics():
+    d = haversine_km_np(59.9139, 10.7522, 63.4305, 10.3951)
+    assert 385 < d < 400
+    assert geoguessr_score_np(0.0) == 5000
+    records = [
+        {"distance_km": 100.0, "score": 4000, "top1_prob": 0.5},
+        {"distance_km": 300.0, "score": 3000, "top1_prob": 0.3},
+    ]
+    s = summarize_results(records)
+    assert s["summary"] is True
+    assert s["num_samples"] == 2
+    assert s["avg_distance_km"] == 200.0
+    assert s["median_distance_km"] == 200.0
+
+
+def test_visualize_guesses_html(tmp_path):
+    records = [
+        {
+            "gt_lat": 59.9,
+            "gt_lon": 10.7,
+            "pred_lat": 48.8,
+            "pred_lon": 2.3,
+            "distance_km": 1343.0,
+            "score": 2000,
+        },
+        {"summary": True, "num_samples": 1},
+    ]
+    jpath = str(tmp_path / "results.json")
+    with open(jpath, "w") as f:
+        json.dump(records, f)
+    out = visualize_guesses(jpath, str(tmp_path / "globe.html"))
+    html = open(out).read()
+    assert "deck.gl" in html or "deck" in html
+    assert "guess-arcs" in html
+    assert "1343 km" in html
+
+
+def test_visualize_geocells_html(tmp_path):
+    from geoguessr_ai_tpu import config
+    from geoguessr_ai_tpu.geocells.manager import CentroidTable
+
+    tab = CentroidTable.load(config.CENTROID_TABLE_PATH)
+    out = visualize_geocells(
+        tab, str(tmp_path / "cells.html"), max_cells=100
+    )
+    html = open(out).read()
+    assert html.count("position") > 0
+    assert "geocells" in html
+
+
+def test_step_profiler_schedule(tmp_path, monkeypatch):
+    from geoguessr_ai_tpu.utils import profiling
+
+    events = []
+    monkeypatch.setattr(
+        profiling.jax.profiler,
+        "start_trace",
+        lambda d: events.append("start"),
+    )
+    monkeypatch.setattr(
+        profiling.jax.profiler, "stop_trace", lambda: events.append("stop")
+    )
+    prof = profiling.StepProfiler(
+        str(tmp_path), profiling.ProfileSchedule(wait=1, warmup=1, active=2, repeat=2)
+    )
+    for _ in range(12):
+        prof.step()
+    # two capture cycles: start/stop twice
+    assert events == ["start", "stop", "start", "stop"]
