@@ -68,22 +68,25 @@ def train_step(
 
     def loss_fn(params):
         variables = {"params": params}
-        mutable = []
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-            mutable = ["batch_stats"]
-        out = state.apply_fn(
-            variables,
-            pixel_values=batch.get("pixel_values"),
-            embedding=batch.get("embedding"),
-            train=True,
-            rngs={"dropout": rng},
-            mutable=mutable,
-        )
-        if mutable:
-            (emb, logits), new_model_state = out
+            (emb, logits), new_model_state = state.apply_fn(
+                variables,
+                pixel_values=batch.get("pixel_values"),
+                embedding=batch.get("embedding"),
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
         else:
-            (emb, logits), new_model_state = out, {}
+            emb, logits = state.apply_fn(
+                variables,
+                pixel_values=batch.get("pixel_values"),
+                embedding=batch.get("embedding"),
+                train=True,
+                rngs={"dropout": rng},
+            )
+            new_model_state = {}
         if should_smooth_labels:
             loss = smoothed_soft_ce(logits, batch["coords"], centroids)
         else:
