@@ -22,6 +22,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from geoguessr_ai_tpu.config import MeshConfig
 
 
+def maybe_initialize_distributed() -> int:
+    """Initialize jax.distributed on multi-host TPU slices (reference
+    equivalent: Accelerate's process-group setup, SURVEY.md §5.8).
+
+    No-ops on single-host; returns the process count.  TPU pods populate
+    the coordinator address from metadata, so no arguments are needed.
+    """
+    if jax.process_count() > 1:
+        return jax.process_count()
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / already initialized
+    return jax.process_count()
+
+
+def host_shard_range(total: int) -> tuple:
+    """[start, stop) rows this host owns of a length-`total` dataset —
+    per-host input sharding replacing torch DataLoader worker sharding
+    (backend/data.py:97-111)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = (total + n - 1) // n
+    return min(i * per, total), min((i + 1) * per, total)
+
+
 def create_mesh(
     cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
 ) -> Mesh:

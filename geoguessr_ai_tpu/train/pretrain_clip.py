@@ -161,8 +161,13 @@ def pretrain(
     max_steps: Optional[int] = None,
     metrics_logger: Optional[MetricsLogger] = None,
     mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Dict:
-    """Run contrastive pretraining; returns {params, losses}."""
+    """Run contrastive pretraining; returns {params, losses}.
+
+    Checkpoints every ``cfg.save_every_steps`` (HF-Trainer save_steps
+    semantics, reference config.py:127-128) into
+    ``<checkpoint_dir>/step_<N>`` plus a final ``last``."""
     from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
     from geoguessr_ai_tpu import config as C
     from geoguessr_ai_tpu.parallel.mesh import create_mesh
@@ -209,6 +214,21 @@ def pretrain(
         seed=cfg.seed,
     )
     mlog = metrics_logger or MetricsLogger(project="geoguessr-tpu-pretrain")
+
+    def save_checkpoint(name: str):
+        if checkpoint_dir is None:
+            return
+        import os
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(os.path.abspath(checkpoint_dir), name)
+        shutil.rmtree(path, ignore_errors=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": jax.device_get(params)})
+        ckptr.wait_until_finished()
+
     losses = []
     step = 0
     for epoch in range(cfg.num_epochs):
@@ -231,10 +251,13 @@ def pretrain(
             losses.append(float(loss))
             if step % 10 == 0 or step == 1:
                 mlog.log({"pretrain/loss": losses[-1]}, step)
+            if cfg.save_every_steps and step % cfg.save_every_steps == 0:
+                save_checkpoint(f"step_{step:07d}")
             if max_steps is not None and step >= max_steps:
                 break
         if max_steps is not None and step >= max_steps:
             break
+    save_checkpoint("last")
     mlog.finish()
     return {"params": jax.device_get(params), "losses": losses}
 
