@@ -297,16 +297,16 @@ class WindowAttention(nn.Module):
             out = window_attention(qt, kt, vt, attn_bias, scale)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
         else:
+            # Plain f32-scores XLA attention.  A bf16 score-storage variant
+            # measured faster in isolated blocks (53.7 vs 63.1 ms for 2x
+            # stage-1) but 20% slower end-to-end (530 vs 668 img/s at
+            # B=256) — the extra casts break cross-block fusion — so the
+            # straightforward form stays.
             attn = jnp.einsum(
                 "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
             )
-            # Store scores in compute dtype (scale+bias+cast fuse into the
-            # matmul epilogue) — halves the HBM traffic of the dominant
-            # (B*nW, H, N, N) tensor; softmax still reduces in f32.
-            attn = (attn * scale + attn_bias[None]).astype(self.dtype)
-            attn = jax.nn.softmax(
-                attn.astype(jnp.float32), axis=-1
-            ).astype(self.dtype)
+            attn = attn * scale + attn_bias[None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
             out = out.reshape(B, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)

@@ -65,6 +65,9 @@ class CheckpointStore:
         return out
 
     def _save_tree(self, name: str, tree: Any) -> None:
+        # Defensive recreation: survive the checkpoint dir being removed
+        # mid-run (reference main_coordinator_idun.py:555-563).
+        os.makedirs(self.cfg.directory, exist_ok=True)
         path = self._path(name)
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -110,7 +113,23 @@ class CheckpointStore:
         name = f"epoch_{epoch:04d}_{monitored_value:.6f}"
         self._save_tree(name, tree)
         self._prune()
+        if name in {n for n, _, _ in self._epoch_dirs()}:
+            self._notify_artifact(name)
         return float(new_best)
+
+    def _notify_artifact(self, name: str) -> None:
+        """Upload a kept epoch checkpoint as a W&B artifact when W&B is
+        active (reference main_coordinator_idun.py:592-612)."""
+        try:
+            import wandb
+
+            if wandb.run is None:
+                return
+            art = wandb.Artifact(name=f"checkpoint-{name}", type="model")
+            art.add_dir(self._path(name))
+            wandb.run.log_artifact(art)
+        except Exception:
+            pass
 
     def _prune(self) -> None:
         dirs = self._epoch_dirs()

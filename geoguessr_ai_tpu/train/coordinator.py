@@ -299,8 +299,7 @@ def train(
             else {}
         )
         monitored = val.get(
-            cfg.monitored_metric.replace("val_loss", "val_loss"),
-            val.get("val_loss", ep.get("epoch/loss", 0.0)),
+            cfg.monitored_metric, val.get("val_loss", ep.get("epoch/loss", 0.0))
         )
 
         if store is not None:
