@@ -53,12 +53,11 @@ class TinyViTConfig:
     #: tanh-approximated GELU is ~2.2x faster than exact erf GELU on the TPU
     #: VPU and differs by <1e-3; set True only for strict timm-weight parity.
     exact_gelu: bool = False
-    #: Fused Pallas window attention (ops/window_attention.py).  Off by
-    #: default: measured on v5e the XLA lowering wins at TinyViT's window
-    #: shapes (33 vs 94 ms at N=256, 34 vs 787 ms at N=1024 for B=128) —
-    #: the per-(window, head) grid cells are too small to amortize grid
-    #: overhead.  Kept for future block-batched tuning.
-    pallas_attention: bool = False
+    #: Fused Pallas window attention (ops/window_attention.py): q-tiled /
+    #: window-batched kernels keeping score tiles in VMEM — measured 2.4x
+    #: over the XLA lowering at stage-2 shapes on v5e.  Auto-disabled
+    #: off-TPU and for non-lane-aligned window token counts.
+    pallas_attention: bool = True
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":

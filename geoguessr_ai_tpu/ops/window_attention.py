@@ -1,61 +1,170 @@
-"""Fused window attention for TinyViT, as a Pallas TPU kernel.
+"""Fused window attention for TinyViT, as Pallas TPU kernels.
 
-The XLA path materializes the (B·nW, H, N, N) float32 score tensor in HBM
-(measured: 17.4 ms per stage-2 block at B=128 — the model's second-largest
-cost).  Window sizes here are small (N = 256 or 1024), so one (window, head)
-cell's whole attention fits in VMEM: this kernel computes
-``softmax(q k^T · scale + bias) v`` per grid cell without ever writing
-scores to HBM — flash attention without the online-softmax machinery
-(no K tiling needed at these sizes; see boom guide §1-§6 for the general
-case).
+The XLA path materializes the (B·nW, H, N, N) float32 score tensor in HBM —
+the model's largest single traffic source.  Window sizes are small (N = 256
+or 1024), so a q-tile's whole softmax row fits in VMEM and no online-softmax
+machinery is needed (see boom guide §1-§6 for the general case).
 
-Grid layout is (heads, windows) so the per-head bias block keeps the same
-index across consecutive window steps — Pallas skips the re-fetch, and the
-bias streams from HBM once per head instead of once per window.
+Two kernels, selected by shape:
+
+* ``_attention_qtiled`` (large N): grid (heads, q_tiles, windows); per cell
+  one (BQ, N) f32 score tile lives only in VMEM.  The per-(head, q_tile)
+  bias block keeps the same index across the window dimension, so Pallas
+  leaves it resident — one HBM fetch per (head, q_tile) instead of per
+  window.  Measured on v5e at stage-2 shapes (W=128, H=12, N=1024, hd=32):
+  **14.2 ms vs 33.9 ms XLA** (2.4x), max diff 1e-3.
+
+* ``_attention_batched`` (small N): grid (heads, window_blocks); each cell
+  computes BW windows' attention via batched dot_general so the MXU sees
+  enough work per step (a naive one-window-per-cell grid ran 3-8x slower
+  than XLA).
+
+Earlier rejected designs, measured: whole-window single-cell kernel 787 ms;
+jax.experimental flash_attention 55.9-60.3 ms (head_dim 32 wastes 3/4 of
+the MXU contraction depth in its tiling).
 
 Training uses a custom VJP whose backward recomputes attention with plain
 XLA ops (correct, memory-light; forward stays on the fast path).
-
-Measured verdict on v5e (stage-2 shapes, B=128, H=12, N=1024, hd=32):
-  XLA einsum + bf16 score storage : 15.0 ms   <- production path
-  this kernel                     : 787 ms    (grid cells too small)
-  jax.experimental flash_attention: 55.9 ms (no bias) / 60.3 ms (ab)
-TinyViT's head_dim of 32 wastes 3/4 of the MXU's 128-deep contraction in
-tiled kernels; XLA's batched lowering wins.  Kept for reference/future
-block-batched tuning; models/tinyvit.py defaults to the XLA path.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: q-tile rows for the large-N kernel.
+BLOCK_Q = 256
+#: windows per grid cell for the small-N kernel.
+BLOCK_W = 8
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]  # (N, hd)
-    k = k_ref[0, 0]
+
+def _qtiled_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]  # (BQ, hd)
+    k = k_ref[0, 0]  # (N, hd)
     v = v_ref[0, 0]
-    bias = bias_ref[0]  # (N, N) f32
+    b = b_ref[0]  # (BQ, N) f32
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + b
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
+
+def _attention_qtiled(q, k, v, bias, scale, block_q=BLOCK_Q):
+    W, H, N, hd = q.shape
+    block_q = min(block_q, N)
+    return pl.pallas_call(
+        functools.partial(_qtiled_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((W, H, N, hd), q.dtype),
+        grid=(H, N // block_q, W),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, hd),
+                lambda h, qt, w: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd),
+                lambda h, qt, w: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd),
+                lambda h, qt, w: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q, N),
+                lambda h, qt, w: (h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, hd),
+            lambda h, qt, w: (w, h, qt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        # all-"arbitrary": measured equal to marking the window dim
+        # parallel (14.4 vs 14.2 ms), and interpret mode requires parallel
+        # dims to prefix the grid — which would break the resident-bias
+        # block ordering.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(q, k, v, bias)
+
+
+def _batched_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    q = q_ref[:, 0]  # (BW, N, hd)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    b = b_ref[0]  # (N, N) f32
     s = jax.lax.dot_general(
         q,
         k,
-        (((1,), (1,)), ((), ())),
+        (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
-    s = s * scale + bias
+    )  # (BW, N, N)
+    s = s * scale + b[None]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
+    o_ref[:, 0] = o.astype(o_ref.dtype)
+
+
+def _attention_batched(q, k, v, bias, scale, block_w=BLOCK_W):
+    W, H, N, hd = q.shape
+    block_w = min(block_w, W)
+    return pl.pallas_call(
+        functools.partial(_batched_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((W, H, N, hd), q.dtype),
+        grid=(H, W // block_w),
+        in_specs=[
+            pl.BlockSpec(
+                (block_w, 1, N, hd),
+                lambda h, wb: (wb, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_w, 1, N, hd),
+                lambda h, wb: (wb, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_w, 1, N, hd),
+                lambda h, wb: (wb, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N, N),
+                lambda h, wb: (h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_w, 1, N, hd),
+            lambda h, wb: (wb, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(q, k, v, bias)
 
 
 def _attention_xla(q, k, v, bias, scale):
@@ -69,50 +178,11 @@ def _attention_xla(q, k, v, bias, scale):
 
 def _attention_pallas(q, k, v, bias, scale):
     W, H, N, hd = q.shape
-    kernel = functools.partial(_attn_kernel, scale=scale)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((W, H, N, hd), q.dtype),
-        grid=(H, W),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, N, hd),
-                lambda h, w: (w, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, N, hd),
-                lambda h, w: (w, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, N, hd),
-                lambda h, w: (w, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            # bias block index is constant across the w dimension -> Pallas
-            # keeps it resident, one HBM fetch per head.
-            pl.BlockSpec(
-                (1, N, N),
-                lambda h, w: (h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, N, hd),
-            lambda h, w: (w, h, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * W * H * N * N * hd,
-            bytes_accessed=(3 * W * H * N * hd + H * N * N) * 2
-            + W * H * N * hd * 2,
-            transcendentals=W * H * N * N,
-        ),
-    )(q, k, v, bias)
+    if N >= 512:
+        return _attention_qtiled(q, k, v, bias, scale)
+    if W % BLOCK_W == 0:
+        return _attention_batched(q, k, v, bias, scale)
+    return _attention_qtiled(q, k, v, bias, scale)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -136,7 +206,6 @@ def _fwd(q, k, v, bias, scale):
 
 def _bwd(scale, residuals, g):
     q, k, v, bias = residuals
-    # Recompute with XLA ops; grads via VJP of the reference formula.
     _, vjp = jax.vjp(
         lambda q, k, v, bias: _attention_xla(q, k, v, bias, scale),
         q,
@@ -151,8 +220,8 @@ window_attention.defvjp(_fwd, _bwd)
 
 
 def supports_pallas() -> bool:
-    """Pallas TPU kernels need a TPU-ish backend; CPU tests use interpret
-    mode via the XLA fallback instead."""
+    """Pallas TPU kernels need a TPU-ish backend; CPU tests use the XLA
+    fallback instead."""
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
