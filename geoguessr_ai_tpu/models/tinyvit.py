@@ -420,9 +420,9 @@ class TinyViT(nn.Module):
         dtype = cfg.dtype
         x = pixel_values.astype(dtype)
 
-        from geoguessr_ai_tpu.ops.window_attention import supports_pallas
-
-        use_pallas = cfg.pallas_attention and supports_pallas()
+        # window_attention selects Pallas-vs-XLA per lowering platform
+        # (lax.platform_dependent), so no device check is needed here.
+        use_pallas = cfg.pallas_attention
 
         # Per-block stochastic-depth schedule (linear ramp, timm convention).
         total_blocks = sum(cfg.depths)

@@ -189,6 +189,10 @@ def _attention_pallas(q, k, v, bias, scale):
 def window_attention(q, k, v, bias, scale: float):
     """softmax(q k^T * scale + bias) v over independent windows.
 
+    Pallas kernels on TPU, XLA einsum elsewhere — selected per lowering
+    platform (`lax.platform_dependent`), so the same model traces on CPU
+    (tests, host-side init) and TPU without reconfiguration.
+
     Args:
       q, k, v: (W, H, N, hd) — W windows (batch x window grid), H heads.
       bias: (H, N, N) float32 additive attention bias (shared across W).
@@ -197,7 +201,14 @@ def window_attention(q, k, v, bias, scale: float):
     Returns:
       (W, H, N, hd) in q.dtype.
     """
-    return _attention_pallas(q, k, v, bias, scale)
+    return jax.lax.platform_dependent(
+        q,
+        k,
+        v,
+        bias,
+        cpu=functools.partial(_attention_xla, scale=scale),
+        default=functools.partial(_attention_pallas, scale=scale),
+    )
 
 
 def _fwd(q, k, v, bias, scale):
