@@ -269,9 +269,7 @@ class WindowAttention(nn.Module):
             x.astype(jnp.float32)
         ).astype(self.dtype)
 
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
+        qkv_dense = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")
 
         bias_idx = _relative_bias_index(self.window)  # (N, N)
         num_offsets = int(bias_idx.max()) + 1
@@ -284,18 +282,26 @@ class WindowAttention(nn.Module):
         attn_bias = biases[:, bias_idx]  # (H, N, N)
 
         # Pallas fused path: keeps the (N, N) scores in VMEM (the XLA path
-        # materializes them f32 in HBM).  Needs lane-aligned N.
+        # materializes them f32 in HBM).  Needs lane-aligned N.  The kernel
+        # consumes/produces the natural (W, N, H, hd) layout, so no
+        # transposes are materialized around the pallas_call (an earlier
+        # head-major kernel layout lost more to transposes than the kernel
+        # saved: 525 vs 668 img/s end-to-end).
         if self.use_pallas and N % 128 == 0:
             from geoguessr_ai_tpu.ops.window_attention import (
                 window_attention,
             )
 
-            qt = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
-            kt = k.transpose(0, 2, 1, 3)
-            vt = v.transpose(0, 2, 1, 3)
-            out = window_attention(qt, kt, vt, attn_bias, scale)
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+            qkv = qkv_dense(x).reshape(B, N, 3, self.num_heads, head_dim)
+            q = qkv[:, :, 0]  # (B, N, H, hd) — contiguous slices
+            k = qkv[:, :, 1]
+            v = qkv[:, :, 2]
+            out = window_attention(q, k, v, attn_bias, scale)
+            out = out.reshape(B, N, self.dim)
         else:
+            qkv = qkv_dense(x)
+            qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
+            q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
             # Plain f32-scores XLA attention.  A bf16 score-storage variant
             # measured faster in isolated blocks (53.7 vs 63.1 ms for 2x
             # stage-1) but 20% slower end-to-end (530 vs 668 img/s at

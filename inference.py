@@ -75,6 +75,13 @@ def main() -> None:
     ap.add_argument("--use-refiner", action="store_true")
     args = ap.parse_args()
 
+    # Optional W&B inference-job logging (reference inference.py:238-272).
+    from geoguessr_ai_tpu.utils.logging import try_init_wandb
+
+    run = try_init_wandb(
+        "geoguessr-tpu", {"backbone": args.backbone}, job_type="inference"
+    )
+
     paths = args.images
     if not paths:
         # No-args mode: reference samples a random S3 panorama
@@ -99,12 +106,19 @@ def main() -> None:
             from geoguessr_ai_tpu.data.s3 import download_random_panorama
 
             paths = download_random_panorama()
-    run_inference(
+    lat, lon, top_ids, top_probs = run_inference(
         paths,
         backbone=args.backbone,
         use_refiner=args.use_refiner,
         checkpoint=args.checkpoint,
     )
+    if run is not None:
+        try:
+            run.log({"pred_lat": lat, "pred_lon": lon,
+                     "top1_prob": top_probs[0]})
+            run.finish()
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":
