@@ -82,6 +82,16 @@ def build_embedding_sqlite(
     df = load_sqlite_dataset(src_sqlite)
     if limit:
         df = df.iloc[:limit]
+    # Multi-host: each host embeds its own row shard (the TPU analog of
+    # the reference's Accelerate gather across GPUs, preprocessing/
+    # embed.py:36-38 — shards recombine by concatenating the SQLites).
+    import jax
+
+    if jax.process_count() > 1:
+        from geoguessr_ai_tpu.parallel.mesh import host_shard_range
+
+        lo, hi = host_shard_range(len(df))
+        df = df.iloc[lo:hi]
     total = len(df)
     embedder = embedder or Embedder(cfg.backbone)
     meter = ThroughputMeter(

@@ -53,11 +53,20 @@ class TinyViTConfig:
     #: tanh-approximated GELU is ~2.2x faster than exact erf GELU on the TPU
     #: VPU and differs by <1e-3; set True only for strict timm-weight parity.
     exact_gelu: bool = False
-    #: Fused Pallas window attention (ops/window_attention.py): q-tiled /
-    #: window-batched kernels keeping score tiles in VMEM — measured 2.4x
-    #: over the XLA lowering at stage-2 shapes on v5e.  Auto-disabled
-    #: off-TPU and for non-lane-aligned window token counts.
-    pallas_attention: bool = True
+    #: Fused Pallas window attention (ops/window_attention.py).  The
+    #: kernels beat XLA 2.2-2.4x in isolation (14.2/14.8/5.8 ms vs
+    #: 33.9/32.3/7.7 ms at s2/s1/s3 shapes, v5e), but every integration
+    #: layout measured SLOWER end-to-end (607-525 vs 668 img/s at B=256):
+    #: the head-major kernel layout forces (B,N,H,hd)<->(B,H,N,hd)
+    #: reorders around the pallas_call that XLA materializes as transposes
+    #: costing more than the kernel saves, and Mosaic rejects slicing the
+    #: head axis of token-major blocks (last-two-dims rule; its tpu.matmul
+    #: also allows only one leading batch dim).  Default False — the XLA
+    #: attention with f32 scores is the production path; flipping this on
+    #: is only useful for kernel development.  A fully-fused block kernel
+    #: (LN+qkv+attention+proj in one pallas_call) is the planned way to
+    #: make the kernel win end-to-end.
+    pallas_attention: bool = False
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -247,6 +256,27 @@ def _relative_bias_index(window: int) -> np.ndarray:
     return inv.reshape(offsets.shape).astype(np.int32)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout (kernel (in, out) +
+    bias), so attention paths that consume reshaped weight views share
+    checkpoints with a plain Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """LeViT-style attention with learned relative biases over one window.
 
@@ -269,7 +299,15 @@ class WindowAttention(nn.Module):
             x.astype(jnp.float32)
         ).astype(self.dtype)
 
-        qkv_dense = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")
+        # Raw projection params (Dense-compatible tree: qkv/kernel (C, 3D),
+        # qkv/bias, proj/kernel (D, C), proj/bias) so both attention paths
+        # and converted checkpoints share one layout.
+        qkv_kernel, qkv_bias = _DenseParams(
+            3 * self.dim, name="qkv"
+        )(C)
+        proj_kernel, proj_bias = _DenseParams(self.dim, name="proj")(
+            self.dim
+        )
 
         bias_idx = _relative_bias_index(self.window)  # (N, N)
         num_offsets = int(bias_idx.max()) + 1
@@ -282,39 +320,98 @@ class WindowAttention(nn.Module):
         attn_bias = biases[:, bias_idx]  # (H, N, N)
 
         # Pallas fused path: keeps the (N, N) scores in VMEM (the XLA path
-        # materializes them f32 in HBM).  Needs lane-aligned N.  The kernel
-        # consumes/produces the natural (W, N, H, hd) layout, so no
-        # transposes are materialized around the pallas_call (an earlier
-        # head-major kernel layout lost more to transposes than the kernel
-        # saved: 525 vs 668 img/s end-to-end).
+        # materializes them f32 in HBM).  Needs lane-aligned N.  The
+        # head-major (W, H, N, hd) kernel layout is emitted/consumed
+        # directly by the projection einsums — materializing transposes
+        # around the pallas_call instead costs more than the kernel saves
+        # (measured 525 vs 668 img/s end-to-end).
         if self.use_pallas and N % 128 == 0:
             from geoguessr_ai_tpu.ops.window_attention import (
                 window_attention,
             )
 
-            qkv = qkv_dense(x).reshape(B, N, 3, self.num_heads, head_dim)
-            q = qkv[:, :, 0]  # (B, N, H, hd) — contiguous slices
-            k = qkv[:, :, 1]
-            v = qkv[:, :, 2]
-            out = window_attention(q, k, v, attn_bias, scale)
-            out = out.reshape(B, N, self.dim)
-        else:
-            qkv = qkv_dense(x)
-            qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
-            q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
-            # Plain f32-scores XLA attention.  A bf16 score-storage variant
-            # measured faster in isolated blocks (53.7 vs 63.1 ms for 2x
-            # stage-1) but 20% slower end-to-end (530 vs 668 img/s at
-            # B=256) — the extra casts break cross-block fusion — so the
-            # straightforward form stays.
-            attn = jnp.einsum(
-                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            # channel layout matches the XLA branch's reshape/split:
+            # output channel c -> (head = c // (3*hd), slot = (c % (3*hd))
+            # // hd) with slot 0/1/2 = q/k/v.
+            wk = qkv_kernel.reshape(
+                C, self.num_heads, 3, head_dim
+            ).astype(self.dtype)
+            wb = qkv_bias.reshape(
+                self.num_heads, 3, 1, head_dim
+            ).astype(self.dtype)
+            q = (
+                jnp.einsum(
+                    "bnc,chd->bhnd",
+                    x,
+                    wk[:, :, 0],
+                    preferred_element_type=self.dtype,
+                )
+                + wb[:, 0]
             )
-            attn = attn * scale + attn_bias[None]
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
-            out = out.reshape(B, N, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            k = (
+                jnp.einsum(
+                    "bnc,chd->bhnd",
+                    x,
+                    wk[:, :, 1],
+                    preferred_element_type=self.dtype,
+                )
+                + wb[:, 1]
+            )
+            v = (
+                jnp.einsum(
+                    "bnc,chd->bhnd",
+                    x,
+                    wk[:, :, 2],
+                    preferred_element_type=self.dtype,
+                )
+                + wb[:, 2]
+            )
+            out = window_attention(q, k, v, attn_bias, scale)
+            # back-projection consumes head-major directly
+            return (
+                jnp.einsum(
+                    "bhnd,hdc->bnc",
+                    out,
+                    proj_kernel.reshape(
+                        self.num_heads, head_dim, self.dim
+                    ).astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
+                + proj_bias.astype(self.dtype)
+            )
+
+        qkv = (
+            jnp.einsum(
+                "bnc,ck->bnk",
+                x,
+                qkv_kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
+            + qkv_bias.astype(self.dtype)
+        )
+        qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
+        # Plain f32-scores XLA attention.  A bf16 score-storage variant
+        # measured faster in isolated blocks (53.7 vs 63.1 ms for 2x
+        # stage-1) but 20% slower end-to-end (530 vs 668 img/s at
+        # B=256) — the extra casts break cross-block fusion — so the
+        # straightforward form stays.
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        )
+        attn = attn * scale + attn_bias[None]
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(B, N, self.dim)
+        return (
+            jnp.einsum(
+                "bnd,dc->bnc",
+                out,
+                proj_kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
+            + proj_bias.astype(self.dtype)
+        )
 
 
 class Mlp(nn.Module):

@@ -9,9 +9,9 @@ import jax.numpy as jnp
 
 def _setup(W, H, N, hd, seed=0):
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.normal(size=(W, N, H, hd)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(W, N, H, hd)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(W, N, H, hd)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(W, H, N, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(W, H, N, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(W, H, N, hd)), jnp.float32)
     bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32)
     return q, k, v, bias
 
