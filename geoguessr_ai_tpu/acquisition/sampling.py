@@ -10,7 +10,7 @@ against the Street View metadata API with threaded retries/backoff
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 

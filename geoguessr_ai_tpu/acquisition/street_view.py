@@ -12,7 +12,6 @@ from __future__ import annotations
 import base64
 import hashlib
 import hmac
-import os
 import time
 import urllib.parse
 from typing import Dict, List, Optional, Tuple

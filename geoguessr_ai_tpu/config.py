@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 # ---------------------------------------------------------------------------
 # Physical / scoring constants (contract with the reference, see BASELINE.md)

@@ -18,7 +18,6 @@ from typing import Dict, Iterable, Optional
 
 import numpy as np
 
-from geoguessr_ai_tpu import config as C
 from geoguessr_ai_tpu.config import BackboneConfig, EmbedBuildConfig
 from geoguessr_ai_tpu.data.pipeline import ThroughputMeter, decode_jpeg
 from geoguessr_ai_tpu.data.sqlite_dataset import (

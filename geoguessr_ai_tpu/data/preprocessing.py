@@ -16,7 +16,7 @@ Working re-design of the reference's legacy HF-datasets preprocessing
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping, Optional, Sequence
+from typing import Callable, Mapping, Optional, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ these routines are the always-available fallback.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -23,7 +23,6 @@ hard CE.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional
 
 import flax.linen as nn

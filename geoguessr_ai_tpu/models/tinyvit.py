@@ -26,7 +26,7 @@ attention biases -> proj; q/k/v head dim = dim/num_heads (attn_ratio 1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

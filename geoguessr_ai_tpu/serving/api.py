@@ -18,7 +18,6 @@ without it, and ``geoguessr_ai_tpu.serving`` imports fine regardless.
 
 from __future__ import annotations
 
-import io
 import itertools
 import threading
 from typing import Dict, List, Optional

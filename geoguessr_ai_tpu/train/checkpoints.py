@@ -16,7 +16,6 @@ import shutil
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -15,7 +15,7 @@ str-list -> (B, T) int32 works (tests use a hash tokenizer).
 from __future__ import annotations
 
 import random
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +23,14 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from geoguessr_ai_tpu.config import MeshConfig, PretrainConfig
+from geoguessr_ai_tpu.config import PretrainConfig
 from geoguessr_ai_tpu.models.clip_text import (
     CLIPModel,
     CLIPTextConfig,
 )
 from geoguessr_ai_tpu.models.clip_vit import CLIPVisionConfig
 from geoguessr_ai_tpu.train.captions import select_caption
-from geoguessr_ai_tpu.utils.logging import MetricsLogger, logger
+from geoguessr_ai_tpu.utils.logging import MetricsLogger
 
 TRAINABLE_SUBTREES = ("visual_projection", "logit_scale")
 

@@ -19,8 +19,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from geoguessr_ai_tpu.config import MeshConfig, OptimizerConfig, TrainConfig
-from geoguessr_ai_tpu.utils.logging import MetricsLogger, logger
+from geoguessr_ai_tpu.config import MeshConfig, TrainConfig
 from geoguessr_ai_tpu.utils.profiling import ProfileSchedule, StepProfiler
 
 
@@ -116,7 +115,7 @@ def evaluate_model(
     )
     from geoguessr_ai_tpu.geocells.manager import CentroidTable
     from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
-    from geoguessr_ai_tpu.parallel.mesh import batch_sharding, create_mesh
+    from geoguessr_ai_tpu.parallel.mesh import create_mesh
     from geoguessr_ai_tpu.train.steps import eval_step
     import jax.numpy as jnp
 
