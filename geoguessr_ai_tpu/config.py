@@ -144,6 +144,12 @@ class BackboneConfig:
             name="clip", image_size=CLIP_IMAGE_SIZE, embed_dim=CLIP_EMBED_DIM
         )
 
+    @staticmethod
+    def clip_b32() -> "BackboneConfig":
+        """CLIP ViT-B/32 (BASELINE.json config 2: batch embedding
+        extraction)."""
+        return BackboneConfig(name="clip_b32", image_size=224, embed_dim=768)
+
 
 @_frozen
 class ModelConfig:

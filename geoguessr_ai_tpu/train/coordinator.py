@@ -96,7 +96,7 @@ def build_backbone(cfg: BackboneConfig):
             C.TINYVIT_NORM_STD,
             tv.image_size,
         )
-    if cfg.name == "clip":
+    if cfg.name in ("clip", "clip_b32"):
 
         class _ClipEmbed(CLIPVisionTower):
             """CLIP tower returning the reference's mean-token embedding."""
@@ -105,7 +105,11 @@ def build_backbone(cfg: BackboneConfig):
                 out = super().__call__(pixel_values)
                 return clip_mean_token_embedding(out)
 
-        cv = CLIPVisionConfig.vit_l_14_336()
+        cv = (
+            CLIPVisionConfig.vit_l_14_336()
+            if cfg.name == "clip"
+            else CLIPVisionConfig.vit_b_32_224()
+        )
         return (
             _ClipEmbed(cv),
             C.CLIP_NORM_MEAN,

@@ -41,7 +41,8 @@ def _metrics(logits, coords, centroids, loss):
     Matches the reference metric set (main_coordinator_idun.py:359-368,
     run_benchmark.py:50-117)."""
     labels = nearest_centroid_labels(coords, centroids)
-    _, preds, pred_lnglat, top5 = decode_predictions(logits, centroids, 5)
+    k = min(5, centroids.shape[0])
+    _, preds, pred_lnglat, top5 = decode_predictions(logits, centroids, k)
     top1 = jnp.mean((preds == labels).astype(jnp.float32))
     top5_acc = jnp.mean(
         jnp.any(top5.indices == labels[:, None], axis=-1).astype(jnp.float32)
