@@ -84,7 +84,7 @@ class PanoramaBatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _decode_row(self, row) -> np.ndarray:
+    def _decode_row(self, row):
         views = np.zeros(
             (self.num_views, self.image_size, self.image_size, 3), np.uint8
         )

@@ -213,6 +213,69 @@ class ObjectStore:
         first = g.iloc[0]
         return paths, float(first["lat"]), float(first["lon"])
 
+    # -- snapshot -> SQLite dataset build --------------------------------
+
+    def build_sqlite_from_snapshot(
+        self,
+        out_path: str,
+        holdout: bool = False,
+        fetch_threads: int = 64,
+        window: int = 10_000,
+        publish: bool = False,
+        log_fn=None,
+    ) -> int:
+        """Build the raw-JPEG training SQLite from the latest snapshot:
+        windowed threaded GETs feeding a single batched writer (reference
+        create_and_upload_sqlite_from_latest_snapshot, s3bucket.py:549-783;
+        the reference keeps the file local rather than uploading,
+        :746-753 — `publish=True` restores the upload+pointer behavior).
+
+        Returns rows written.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from geoguessr_ai_tpu.data.pipeline import ThroughputMeter
+        from geoguessr_ai_tpu.data.sqlite_dataset import (
+            create_sqlite_from_records,
+        )
+
+        df = self.load_latest_snapshot_df(holdout)
+        meter = ThroughputMeter("build_sqlite_raw", len(df), log_fn)
+
+        def fetch(row):
+            try:
+                blob = self.read_bytes(
+                    image_key(row.location_id, int(row.heading))
+                )
+            except Exception:
+                return None
+            return {
+                "location_id": row.location_id,
+                "lat": float(row.lat),
+                "lon": float(row.lon),
+                "heading": int(row.heading),
+                "capture_date": getattr(row, "capture_date", None),
+                "pano_id": getattr(row, "pano_id", None),
+                "batch_date": getattr(row, "batch_date", None),
+                "image": blob,
+            }
+
+        def record_stream():
+            rows = list(df.itertuples())
+            with ThreadPoolExecutor(fetch_threads) as pool:
+                for start in range(0, len(rows), window):
+                    chunk = rows[start : start + window]
+                    for rec in pool.map(fetch, chunk):
+                        if rec is not None:
+                            yield rec
+                    meter.update(len(chunk), phase="fetch+insert")
+
+        written = create_sqlite_from_records(out_path, record_stream())
+        logger.info(f"built {written} rows -> {out_path}")
+        if publish:
+            self.publish_sqlite(out_path, "raw")
+        return written
+
     # -- dataset pointers ----------------------------------------------
 
     def publish_sqlite(self, local_path: str, name: str = "raw") -> str:

@@ -112,7 +112,6 @@ class ServingEngine:
         if os.path.isdir(path):
             import orbax.checkpoint as ocp
 
-            tree = {"state": None}  # restore raw
             restored = ocp.StandardCheckpointer().restore(path)
             params = restored["state"]["params"]
             self.variables = dict(self.variables)
