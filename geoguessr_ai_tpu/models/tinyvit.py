@@ -53,6 +53,10 @@ class TinyViTConfig:
     #: tanh-approximated GELU is ~2.2x faster than exact erf GELU on the TPU
     #: VPU and differs by <1e-3; set True only for strict timm-weight parity.
     exact_gelu: bool = False
+    #: Rematerialize each block in the backward pass (activation
+    #: checkpointing): trades ~30% more FLOPs for O(depth) less activation
+    #: memory, enabling larger train batches.
+    remat: bool = False
     #: Fused Pallas window attention (ops/window_attention.py).  The
     #: kernels beat XLA 2.2-2.4x in isolation (14.2/14.8/5.8 ms vs
     #: 33.9/32.3/7.7 ms at s2/s1/s3 shapes, v5e), but every integration
@@ -401,6 +405,12 @@ class WindowAttention(nn.Module):
         )
         attn = attn * scale + attn_bias[None]
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        # Profiling note: XLA sinks this convert into the consumer matmul
+        # and stores the (B*nW, H, N, N) probs in f32 (~99 ms/iter of HBM
+        # traffic at B=256).  Forcing bf16 materialization with an
+        # optimization_barrier was measured SLOWER end-to-end (601 vs 668
+        # img/s — the barrier also blocks beneficial fusions), so the
+        # straightforward form stays.
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, N, self.dim)
         return (
@@ -538,11 +548,17 @@ class TinyViT(nn.Module):
             name="patch_embed",
         )(x, train)
 
+        mbconv_cls = MBConv
+        block_cls = TinyViTBlock
+        if cfg.remat:
+            mbconv_cls = nn.remat(MBConv, static_argnums=(2,))
+            block_cls = nn.remat(TinyViTBlock, static_argnums=(2,))
+
         block_idx = 0
         for stage in range(len(cfg.depths)):
             if stage == 0:
                 for d in range(cfg.depths[0]):
-                    x = MBConv(
+                    x = mbconv_cls(
                         cfg.embed_dims[0],
                         cfg.mbconv_expand_ratio,
                         dpr[block_idx],
@@ -553,7 +569,7 @@ class TinyViT(nn.Module):
                     block_idx += 1
             else:
                 for d in range(cfg.depths[stage]):
-                    x = TinyViTBlock(
+                    x = block_cls(
                         cfg.embed_dims[stage],
                         cfg.num_heads[stage],
                         cfg.window_sizes[stage],
