@@ -67,7 +67,11 @@ class PanoramaBatchIterator:
         seed: int = 0,
         decode_threads: int = 8,
         drop_remainder: bool = False,
+        fetch_fn=None,
     ):
+        """fetch_fn maps an entry of a row's ``images`` list to JPEG bytes
+        (identity for in-memory blobs; an object-store fetcher for
+        streaming rows that carry keys instead of bytes)."""
         self.df = pano_df.reset_index(drop=True)
         self.batch_size = batch_size
         self.image_size = image_size
@@ -76,6 +80,7 @@ class PanoramaBatchIterator:
         self.seed = seed
         self.decode_threads = decode_threads
         self.drop_remainder = drop_remainder
+        self.fetch_fn = fetch_fn
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -90,6 +95,10 @@ class PanoramaBatchIterator:
         )
         mask = np.zeros((self.num_views,), np.float32)
         for v, blob in enumerate(row.images[: self.num_views]):
+            if self.fetch_fn is not None:
+                blob = self.fetch_fn(blob)
+            if blob is None:
+                continue  # black placeholder (fetch failed)
             views[v] = decode_jpeg(blob, self.image_size)
             mask[v] = 1.0
         return views, mask

@@ -130,6 +130,40 @@ class GeoImageStream:
             }
 
 
+def snapshot_panorama_table(
+    store: ObjectStore,
+    holdout: bool = False,
+    cache_dir: str = "./.s3cache",
+):
+    """Build a panorama table whose ``images`` entries are store KEYS plus
+    the matching fetch_fn — feed both to PanoramaBatchIterator to train
+    straight off the object store without a local SQLite (reference
+    main_coordinator.py, SURVEY.md §2.2).
+
+    Returns (pano_df, fetch_fn).
+    """
+    import pandas as pd
+
+    df = store.load_latest_snapshot_df(holdout)
+    fetcher = _CachedFetcher(store, cache_dir)
+    records = []
+    for location_id, group in df.groupby("location_id", sort=True):
+        group = group.sort_values("heading")
+        first = group.iloc[0]
+        records.append(
+            {
+                "location_id": location_id,
+                "lat": float(first["lat"]),
+                "lon": float(first["lon"]),
+                "headings": group["heading"].tolist(),
+                "images": [
+                    image_key(location_id, int(h)) for h in group["heading"]
+                ],
+            }
+        )
+    return pd.DataFrame.from_records(records), fetcher.fetch
+
+
 class PanoramaStream:
     """Iterates ((4, S, S, 3) u8, target) over complete panoramas; a
     panorama never crosses shards (reference PanoramaIterableDataset,

@@ -143,6 +143,7 @@ def train(
     checkpoint_dir: Optional[str] = None,
     metrics_logger: Optional[MetricsLogger] = None,
     max_steps: Optional[int] = None,
+    fetch_fn=None,
 ) -> Dict:
     """The train loop (reference train(), main_coordinator_idun.py:224-689).
 
@@ -226,6 +227,7 @@ def train(
             image_size,
             decode_threads=cfg.decode_threads,
             drop_remainder=True,
+            fetch_fn=fetch_fn,
         )
         for batch in prefetch_to_device(it, depth=cfg.prefetch_depth):
             batch = jax.device_put(
@@ -260,6 +262,7 @@ def train(
             seed=cfg.seed,
             decode_threads=cfg.decode_threads,
             drop_remainder=True,
+            fetch_fn=fetch_fn,
         )
         epoch_metrics = []
         t_epoch = time.perf_counter()
@@ -351,6 +354,34 @@ def main(cfg: Optional[TrainConfig] = None) -> Dict:
         pano_val,
         table,
         checkpoint_dir=C.CHECKPOINT_DIR,
+    )
+
+
+def main_streaming(cfg: Optional[TrainConfig] = None) -> Dict:
+    """Train directly off the object-store snapshot — no local SQLite
+    (reference main_coordinator.py: GeoImageIterableDataset streaming,
+    holdout snapshot as validation)."""
+    from geoguessr_ai_tpu.data.s3 import ObjectStore
+    from geoguessr_ai_tpu.data.streaming import snapshot_panorama_table
+
+    cfg = cfg or TrainConfig()
+    store = ObjectStore()
+    pano_train, fetch_fn = snapshot_panorama_table(store)
+    try:
+        pano_val, _ = snapshot_panorama_table(store, holdout=True)
+    except FileNotFoundError:
+        pano_train, pano_val = (
+            pano_train.iloc[: int(len(pano_train) * 0.9)],
+            pano_train.iloc[int(len(pano_train) * 0.9) :],
+        )
+    table = CentroidTable.load(C.CENTROID_TABLE_PATH)
+    return train(
+        cfg,
+        pano_train,
+        pano_val,
+        table,
+        checkpoint_dir=C.CHECKPOINT_DIR,
+        fetch_fn=fetch_fn,
     )
 
 
