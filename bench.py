@@ -21,7 +21,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from geoguessr_ai_tpu import config as C
     from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
+
+    C.enable_compilation_cache()
 
     cfg = TinyViTConfig.tiny_vit_21m_512()
     model = TinyViT(cfg)

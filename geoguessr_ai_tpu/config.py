@@ -92,6 +92,31 @@ S3_BUCKET = os.environ.get("GEO_TPU_S3_BUCKET", "cogito-geoguessr")
 S3_REGION = os.environ.get("GEO_TPU_S3_REGION", "eu-north-1")
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Enable JAX's persistent compilation cache.
+
+    First compiles of the 21M-param model take minutes (especially through
+    a remote-compile tunnel); the on-disk cache makes every later process
+    start warm.  Called by the serving engine, coordinator and bench.
+    Override the location with GEO_TPU_COMPILE_CACHE (set to "0" to
+    disable).
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "GEO_TPU_COMPILE_CACHE", os.path.join(REPO_ROOT, ".jax_cache")
+    )
+    if cache_dir == "0":
+        return ""
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return cache_dir
+
+
 def _frozen(cls):
     return dataclasses.dataclass(frozen=True)(cls)
 

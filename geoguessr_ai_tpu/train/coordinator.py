@@ -149,6 +149,7 @@ def train(
 
     Returns a summary dict with final/best metrics.
     """
+    C.enable_compilation_cache()
     mesh = create_mesh(cfg.mesh)
     num_cells = centroid_table.num_cells
     model, mean, std, image_size = build_model(cfg, num_cells)
