@@ -103,17 +103,26 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     """
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "GEO_TPU_COMPILE_CACHE", os.path.join(REPO_ROOT, ".jax_cache")
+    cache_dir = (
+        cache_dir
+        or os.environ.get("GEO_TPU_COMPILE_CACHE")
+        or os.path.join(REPO_ROOT, ".jax_cache")
     )
     if cache_dir == "0":
         return ""
-    os.makedirs(cache_dir, exist_ok=True)
+    # Best-effort: the cache is a pure optimization, so never let it take
+    # down an entry point (read-only checkouts, bad override paths, or a
+    # JAX without the flag all just disable it, loudly).
     try:
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        import logging
+
+        logging.getLogger("geoguessr_ai_tpu").warning(
+            f"compilation cache disabled ({e})"
+        )
+        return ""
     return cache_dir
 
 

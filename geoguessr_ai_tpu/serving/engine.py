@@ -56,7 +56,6 @@ class ServingEngine:
     ):
         from geoguessr_ai_tpu.train.coordinator import build_backbone
 
-        C.enable_compilation_cache()
         self.table = centroid_table or CentroidTable.load(
             C.CENTROID_TABLE_PATH
         )

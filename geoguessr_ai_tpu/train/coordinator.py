@@ -84,6 +84,9 @@ class _EmbeddingBackbone:
 
 def build_backbone(cfg: BackboneConfig):
     """Returns (flax_module, norm_mean, norm_std, image_size)."""
+    # Shared chokepoint for every compile-heavy entry point (serve, train,
+    # finetune, embed builders): enable the persistent compile cache once.
+    C.enable_compilation_cache()
     if cfg.name == "tinyvit":
         tv = TinyViTConfig.tiny_vit_21m_512(
             dtype=jnp.dtype(cfg.dtype).type
@@ -149,7 +152,6 @@ def train(
 
     Returns a summary dict with final/best metrics.
     """
-    C.enable_compilation_cache()
     mesh = create_mesh(cfg.mesh)
     num_cells = centroid_table.num_cells
     model, mean, std, image_size = build_model(cfg, num_cells)
