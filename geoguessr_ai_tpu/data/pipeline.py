@@ -148,6 +148,10 @@ def prefetch_to_device(
     PCIe latency behind the model step (the role of the reference's
     DataLoader prefetching + .to(device), main_coordinator_idun.py:320-341).
     Non-array batch entries pass through on the host.
+
+    `device` may be a Device or a Sharding (e.g. the mesh batch sharding)
+    so batches land directly in their final layout — transferring to one
+    device and re-sharding inside the step loop would double the traffic.
     """
     import jax
 

@@ -35,19 +35,29 @@ from geoguessr_ai_tpu import config as C
 from geoguessr_ai_tpu.utils.logging import logger
 
 V1 = "v1"
+HOLDOUT_PREFIX = "holdout_dataset"
 
 
 def quantize_coord(value: float) -> int:
-    """Quantize degrees to 1e-7° integer steps (reference s3bucket.py:84-89)."""
+    """Quantize degrees to 1e-7° integer steps (reference s3bucket.py:
+    _Q = 10_000_000)."""
     return int(round(float(value) * 1e7))
 
 
-def location_id(lat: float, lon: float) -> str:
-    """sha1("geo:v1:" + packed lat/lon)[:12] content address."""
+def location_id(lat: float, lon: float, hex_len: int = 12) -> str:
+    """sha1("geo:v1:" + >ii-packed (lat, lon))[:12] content address —
+    byte-exact with the reference (make_location_id, s3bucket.py:85-95) so
+    both stacks address the same objects on a shared bucket."""
+    if not (-90 <= lat <= 90 and -180 <= lon <= 180):
+        raise ValueError("lat/lon out of bounds")
+    if lat == 0.0:
+        lat = 0.0  # normalize -0.0
+    if lon == 0.0:
+        lon = 0.0
     payload = b"geo:v1:" + struct.pack(
-        ">qq", quantize_coord(lat), quantize_coord(lon)
+        ">ii", quantize_coord(lat), quantize_coord(lon)
     )
-    return hashlib.sha1(payload).hexdigest()[:12]
+    return hashlib.sha1(payload).hexdigest()[:hex_len]
 
 
 def image_key(loc_id: str, heading: int) -> str:
@@ -150,9 +160,30 @@ class ObjectStore:
             rows = list(pool.map(put, items))
         return pd.DataFrame(rows)
 
-    def write_manifest(self, df: pd.DataFrame, run_ts: Optional[str] = None):
+    @staticmethod
+    def _manifest_prefix(holdout: bool) -> str:
+        # Holdout data lives under a fully separate prefix tree, so the
+        # holdout snapshot can never absorb training manifests (reference
+        # HOLDOUT_PREFIX = "holdout_dataset", s3bucket.py:58-59).
+        return f"{HOLDOUT_PREFIX}/manifest" if holdout else f"{V1}/manifest"
+
+    @staticmethod
+    def _snapshot_prefix(holdout: bool) -> str:
+        return (
+            f"{HOLDOUT_PREFIX}/snapshot" if holdout else f"{V1}/snapshot"
+        )
+
+    def write_manifest(
+        self,
+        df: pd.DataFrame,
+        run_ts: Optional[str] = None,
+        holdout: bool = False,
+    ):
         run_ts = run_ts or time.strftime("%Y%m%dT%H%M%S")
-        key = f"{V1}/manifest/run_ts={run_ts}/batch-0.parquet"
+        key = (
+            f"{self._manifest_prefix(holdout)}/run_ts={run_ts}/"
+            "batch-0.parquet"
+        )
         self.write_parquet(key, df)
         return key
 
@@ -161,9 +192,13 @@ class ObjectStore:
     def merge_snapshot(self, holdout: bool = False) -> str:
         """Merge all manifests into a dedup'd snapshot keyed
         (location_id, heading) + write the _latest.json pointer
-        (reference s3bucket.py:206-240)."""
-        manifests = self.read_parquet_prefix(f"{V1}/manifest/")
-        snap_name = "snapshots_holdout" if holdout else "snapshots"
+        (reference s3bucket.py:206-240).  Pointer schema matches the
+        reference: {"s3": "s3://bucket/<prefix>/"} read back via
+        read_parquet_prefix, so both stacks can read each other's
+        snapshots."""
+        manifests = self.read_parquet_prefix(
+            f"{self._manifest_prefix(holdout)}/"
+        )
         try:
             prev = self.load_latest_snapshot_df(holdout)
             merged = pd.concat([prev, manifests], ignore_index=True)
@@ -173,22 +208,32 @@ class ObjectStore:
             subset=["location_id", "heading"], keep="last"
         ).reset_index(drop=True)
         ts = time.strftime("%Y%m%dT%H%M%S")
-        key = f"{V1}/{snap_name}/snapshot_ts={ts}/part-0.parquet"
-        self.write_parquet(key, merged)
+        snap_prefix = f"{self._snapshot_prefix(holdout)}/snapshot_ts={ts}"
+        self.write_parquet(f"{snap_prefix}/part-0.parquet", merged)
         self.write_json(
-            f"{V1}/{snap_name}/_latest.json",
-            {"snapshot_ts": ts, "key": key, "rows": len(merged)},
+            f"{self._snapshot_prefix(holdout)}/_latest.json",
+            {"s3": f"{self.base_url}/{snap_prefix}/", "rows": len(merged)},
         )
-        return key
+        return snap_prefix
 
     def load_latest_snapshot_df(self, holdout: bool = False) -> pd.DataFrame:
         """Reference load_latest_snapshot_df / holdout variant
-        (s3bucket.py:166-191)."""
-        snap_name = "snapshots_holdout" if holdout else "snapshots"
-        pointer_key = f"{V1}/{snap_name}/_latest.json"
+        (s3bucket.py:166-191): resolve the {"s3": ...} pointer and read
+        every parquet part under it."""
+        pointer_key = f"{self._snapshot_prefix(holdout)}/_latest.json"
         if not self.exists(pointer_key):
             raise FileNotFoundError(f"{pointer_key} missing")
         pointer = self.read_json(pointer_key)
+        if "s3" in pointer:
+            prefix = pointer["s3"]
+            # strip the base url (ours, or any s3://bucket/ the reference
+            # stack wrote)
+            if prefix.startswith(self.base_url + "/"):
+                prefix = prefix[len(self.base_url) + 1 :]
+            elif "://" in prefix:
+                prefix = prefix.split("://", 1)[1].split("/", 1)[1]
+            return self.read_parquet_prefix(prefix.rstrip("/") + "/")
+        # legacy single-part pointer written by earlier versions
         return self.read_parquet(pointer["key"])
 
     def download_random_panorama(

@@ -190,11 +190,9 @@ class Cell:
             else:
                 keep_points.extend(cdata["points"])
         if children:
-            self.points = keep_points if keep_points else [
-                p for c in (children[:1]) for p in []
-            ] or keep_points
-            # parent must keep at least its own remainder; if empty, it
-            # absorbs the first child back
+            # parent keeps its remainder; if nothing remains it absorbs the
+            # first child back so no empty cell survives
+            self.points = keep_points
             if not self.points:
                 first = children.pop(0)
                 self.points = first.points

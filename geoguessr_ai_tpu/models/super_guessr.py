@@ -62,6 +62,7 @@ class SuperGuessr(nn.Module):
         pixel_values: Optional[jax.Array] = None,
         embedding: Optional[jax.Array] = None,
         train: bool = False,
+        view_mask: Optional[jax.Array] = None,
     ):
         """Returns (embedding, logits).
 
@@ -71,6 +72,11 @@ class SuperGuessr(nn.Module):
           embedding: (B, V, D) / (B, D) precomputed embeddings when
             backbone is None.
           train: enables backbone BN updates / dropout.
+          view_mask: optional (B, V) 1/0 mask of real panorama views —
+            padded/failed views are excluded from fusion instead of
+            averaging black frames in (the reference pads with zero
+            images and averages them, LocalGeoMapDataset :107-128; the
+            mask is strictly better and optional for parity).
 
         Returns:
           embedding: (B, V, D) per-view (panorama) or (B, D).
@@ -93,21 +99,36 @@ class SuperGuessr(nn.Module):
             )
 
         if self.panorama:
+            emb_f32 = embedding.astype(jnp.float32)
+            if view_mask is not None:
+                emb_f32 = emb_f32 * view_mask.astype(jnp.float32)[..., None]
             if self.hierarchical:
                 x = PositionalEncoder(self.embed_dim, name="pos_encoder")(
-                    embedding.astype(jnp.float32),
+                    emb_f32,
                     deterministic=not train,
                 )
+                attn_mask = None
+                if view_mask is not None:
+                    # keys of padded views are masked out for every query
+                    m = view_mask.astype(bool)
+                    attn_mask = m[:, None, None, :] & jnp.ones(
+                        (1, 1, m.shape[1], 1), bool
+                    )
                 x = nn.MultiHeadDotProductAttention(
                     num_heads=self.num_attention_heads,
                     dropout_rate=0.1,
                     deterministic=not train,
                     dtype=self.dtype,
                     name="self_attn",
-                )(x.astype(self.dtype), x.astype(self.dtype))
+                )(x.astype(self.dtype), x.astype(self.dtype), mask=attn_mask)
                 fused = x[:, 0].astype(jnp.float32)
+            elif view_mask is not None:
+                denom = jnp.clip(
+                    jnp.sum(view_mask.astype(jnp.float32), axis=1), 1.0, None
+                )
+                fused = jnp.sum(emb_f32, axis=1) / denom[:, None]
             else:
-                fused = jnp.mean(embedding.astype(jnp.float32), axis=1)
+                fused = jnp.mean(emb_f32, axis=1)
         else:
             fused = embedding.astype(jnp.float32)
 

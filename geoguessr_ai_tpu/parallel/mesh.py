@@ -29,8 +29,6 @@ def maybe_initialize_distributed() -> int:
     No-ops on single-host; returns the process count.  TPU pods populate
     the coordinator address from metadata, so no arguments are needed.
     """
-    if jax.process_count() > 1:
-        return jax.process_count()
     try:
         jax.distributed.initialize()
     except Exception:

@@ -51,7 +51,10 @@ from geoguessr_ai_tpu.train.checkpoints import (
     CheckpointConfig,
     CheckpointStore,
 )
-from geoguessr_ai_tpu.train.state import create_train_state
+from geoguessr_ai_tpu.train.state import (
+    backbone_freeze_mask,
+    create_train_state,
+)
 from geoguessr_ai_tpu.train.steps import make_sharded_steps
 from geoguessr_ai_tpu.utils.logging import MetricsLogger, StepTimer, logger
 
@@ -152,6 +155,13 @@ def train(
 
     Returns a summary dict with final/best metrics.
     """
+    if cfg.model.backbone.name == "none":
+        raise NotImplementedError(
+            "train() consumes panorama-image datasets; for embedding-only "
+            "head training drive train.steps.make_sharded_steps directly "
+            "on embedding batches (see tests/test_embedding_training_"
+            "refine.py and train_eval_loop tests)."
+        )
     mesh = create_mesh(cfg.mesh)
     num_cells = centroid_table.num_cells
     model, mean, std, image_size = build_model(cfg, num_cells)
@@ -165,17 +175,21 @@ def train(
         else (1, image_size, image_size, 3),
         jnp.bfloat16,
     )
-    if cfg.model.backbone.name == "none":
-        variables = model.init(
-            rng, embedding=jnp.zeros((1, 4, cfg.model.backbone.embed_dim))
-        )
-    else:
-        variables = model.init(rng, pixel_values=sample)
+    variables = model.init(rng, pixel_values=sample)
     variables = put_variables(variables, mesh, cfg.mesh)
 
     steps_per_epoch = max(1, len(pano_train) // cfg.batch_size)
+    trainable_mask = None
+    bb = cfg.model.backbone
+    if bb.freeze_base or bb.freeze_all_but_last_stage:
+        trainable_mask = backbone_freeze_mask(
+            variables["params"],
+            freeze_base=bb.freeze_base,
+            freeze_all_but_last_stage=bb.freeze_all_but_last_stage,
+        )
     state = create_train_state(
-        model, variables, cfg.optimizer, steps_per_epoch, rng
+        model, variables, cfg.optimizer, steps_per_epoch, rng,
+        trainable_mask=trainable_mask,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -214,12 +228,12 @@ def train(
 
     def preprocess(batch):
         out = {"coords": batch["coords"]}
+        if "view_mask" in batch:
+            out["view_mask"] = batch["view_mask"]
         if "pixel_values" in batch and norm is not None:
             out["pixel_values"] = fused_preprocess(
                 batch["pixel_values"], norm[0], norm[1], image_size
             )
-        elif "embedding" in batch:
-            out["embedding"] = batch["embedding"]
         return out
 
     def run_validation(step):
@@ -232,10 +246,9 @@ def train(
             drop_remainder=True,
             fetch_fn=fetch_fn,
         )
-        for batch in prefetch_to_device(it, depth=cfg.prefetch_depth):
-            batch = jax.device_put(
-                {k: batch[k] for k in ("pixel_values", "coords")}, data_shard
-            )
+        for batch in prefetch_to_device(
+            it, device=data_shard, depth=cfg.prefetch_depth
+        ):
             agg.append(jit_eval(state, preprocess(batch), centroids))
         if not agg:
             return {}
@@ -262,17 +275,19 @@ def train(
             cfg.batch_size,
             image_size,
             shuffle=True,
-            seed=cfg.seed,
+            # fresh iterator per epoch -> vary the seed so every epoch
+            # sees a different permutation (a fixed seed would replay
+            # the same batch order each epoch)
+            seed=cfg.seed + epoch,
             decode_threads=cfg.decode_threads,
             drop_remainder=True,
             fetch_fn=fetch_fn,
         )
         epoch_metrics = []
         t_epoch = time.perf_counter()
-        for batch in prefetch_to_device(it, depth=cfg.prefetch_depth):
-            batch = jax.device_put(
-                {k: batch[k] for k in ("pixel_values", "coords")}, data_shard
-            )
+        for batch in prefetch_to_device(
+            it, device=data_shard, depth=cfg.prefetch_depth
+        ):
             state, metrics = jit_train(state, preprocess(batch), centroids)
             timer.tick()
             global_step += 1

@@ -218,7 +218,10 @@ def finetune(
             top1 = top5 = float("nan")
         mlog.log({"finetune/top1": top1, "finetune/top5": top5}, step)
         summary = {"epoch": epoch, "top1": top1, "top5": top5, "step": step}
-        if checkpoint_dir and (top1 > best_top1 or np.isnan(top1)):
+        improved = (not np.isnan(top1) and top1 > best_top1) or (
+            best_top1 < 0  # always write a first checkpoint
+        )
+        if checkpoint_dir and improved:
             best_top1 = top1
             import orbax.checkpoint as ocp
 

@@ -67,6 +67,10 @@ def make_pretrain_optimizer(cfg: PretrainConfig, total_steps: int):
             weight_decay=cfg.weight_decay,
         ),
     )
+    # Hard freeze: masked() zeroes every update (including AdamW weight
+    # decay, which plain gradient-zeroing would NOT stop — the frozen
+    # towers would decay toward zero) for non-trainable subtrees.
+    tx = optax.masked(tx, trainable_mask)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
     return tx, sched

@@ -20,6 +20,33 @@ from flax.training import train_state
 from geoguessr_ai_tpu.config import OptimizerConfig
 
 
+def backbone_freeze_mask(
+    params,
+    freeze_base: bool = False,
+    freeze_all_but_last_stage: bool = False,
+    last_stage_prefix: str = "stage3",
+):
+    """Trainable-leaf mask implementing the reference's freeze policies
+    (super_guessr.py:127-153): freeze_base freezes the whole backbone;
+    freeze_all_but_last_stage keeps the final stage + head norm trainable
+    (TinyViTAdapter.freeze_all_but_last_stage, models/tinyvit.py:106-111).
+    Everything outside the backbone subtree always trains."""
+
+    def mark(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        if "backbone" not in names:
+            return True
+        if freeze_base:
+            return False
+        if freeze_all_but_last_stage:
+            i = names.index("backbone")
+            child = names[i + 1] if len(names) > i + 1 else ""
+            return child.startswith(last_stage_prefix) or child == "norm_head"
+        return True
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
     dropout_rng: Optional[jax.Array] = None
@@ -56,8 +83,13 @@ def cosine_warm_restarts(
 
 
 def make_optimizer(
-    cfg: OptimizerConfig, steps_per_epoch: int
+    cfg: OptimizerConfig,
+    steps_per_epoch: int,
+    trainable_mask=None,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """trainable_mask: optional pytree/callable marking trainable leaves
+    True; frozen leaves get NO update (optax.masked stops AdamW weight
+    decay too — gradient zeroing alone would let frozen params decay)."""
     sched = cosine_warm_restarts(
         cfg.learning_rate,
         steps_per_cycle=max(1, steps_per_epoch * cfg.cosine_t0),
@@ -74,6 +106,8 @@ def make_optimizer(
             weight_decay=cfg.weight_decay,
         ),
     )
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
     return tx, sched
 
 
@@ -83,8 +117,9 @@ def create_train_state(
     optimizer_cfg: OptimizerConfig,
     steps_per_epoch: int,
     rng: Optional[jax.Array] = None,
+    trainable_mask=None,
 ) -> TrainState:
-    tx, _ = make_optimizer(optimizer_cfg, steps_per_epoch)
+    tx, _ = make_optimizer(optimizer_cfg, steps_per_epoch, trainable_mask)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

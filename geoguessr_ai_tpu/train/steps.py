@@ -75,6 +75,7 @@ def train_step(
                 variables,
                 pixel_values=batch.get("pixel_values"),
                 embedding=batch.get("embedding"),
+                view_mask=batch.get("view_mask"),
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
@@ -84,6 +85,7 @@ def train_step(
                 variables,
                 pixel_values=batch.get("pixel_values"),
                 embedding=batch.get("embedding"),
+                view_mask=batch.get("view_mask"),
                 train=True,
                 rngs={"dropout": rng},
             )
@@ -118,6 +120,7 @@ def eval_step(
         variables,
         pixel_values=batch.get("pixel_values"),
         embedding=batch.get("embedding"),
+        view_mask=batch.get("view_mask"),
         train=False,
     )
     loss = smoothed_soft_ce(logits, batch["coords"], centroids)

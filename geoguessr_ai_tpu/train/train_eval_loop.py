@@ -125,6 +125,13 @@ def evaluate_model(
     table = centroid_table or CentroidTable.load(C.CENTROID_TABLE_PATH)
     centroids = jnp.asarray(table.centroids)
     image_size = model.backbone.config.image_size if model.backbone else None
+    # normalization stats follow the backbone (CLIP stats differ from
+    # TinyViT's ImageNet stats)
+    is_clip = model.backbone is not None and "CLIP" in type(
+        model.backbone
+    ).__name__
+    mean = C.CLIP_NORM_MEAN if is_clip else C.TINYVIT_NORM_MEAN
+    std = C.CLIP_NORM_STD if is_clip else C.TINYVIT_NORM_STD
 
     jit_eval = jax.jit(eval_step)
     agg = []
@@ -133,15 +140,16 @@ def evaluate_model(
     )
     for batch in prefetch_to_device(it, depth=2):
         px = fused_preprocess(
-            batch["pixel_values"],
-            C.TINYVIT_NORM_MEAN,
-            C.TINYVIT_NORM_STD,
-            image_size,
+            batch["pixel_values"], mean, std, image_size
         )
         agg.append(
             jit_eval(
                 state,
-                {"pixel_values": px, "coords": batch["coords"]},
+                {
+                    "pixel_values": px,
+                    "coords": batch["coords"],
+                    "view_mask": batch.get("view_mask"),
+                },
                 centroids,
             )
         )

@@ -36,7 +36,7 @@ DEFAULT_OUTPUT = "data/out/inference_results.json"
 
 def run_benchmark(
     num_samples: int = 100,
-    clip_checkpoint_index: int = 0,
+    clip_checkpoint_index: Optional[int] = None,
     sqlite_path: Optional[str] = None,
     output_path: str = DEFAULT_OUTPUT,
     backbone: str = "tinyvit",
@@ -57,7 +57,10 @@ def run_benchmark(
         from geoguessr_ai_tpu.train.coordinator import discover_sqlite
 
         sqlite_path = discover_sqlite()
-    if checkpoint is None and clip_checkpoint_index:
+    # Index 0 = most recent (reference run_benchmark.py:130-143).  The
+    # default is None (no registry fetch) so offline runs don't require a
+    # store; pass 0 explicitly for the reference's default behavior.
+    if checkpoint is None and clip_checkpoint_index is not None:
         from geoguessr_ai_tpu.data.s3 import download_nth_model_checkpoint
 
         checkpoint = download_nth_model_checkpoint(clip_checkpoint_index)
@@ -120,7 +123,7 @@ def run_benchmark(
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--num-samples", type=int, default=100)
-    ap.add_argument("--clip-checkpoint-index", type=int, default=0)
+    ap.add_argument("--clip-checkpoint-index", type=int, default=None)
     ap.add_argument("--sqlite-path", default=None)
     ap.add_argument("--output-path", default=DEFAULT_OUTPUT)
     ap.add_argument(

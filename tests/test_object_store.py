@@ -48,7 +48,8 @@ def test_random_panorama_download(store, fixtures_dir, tmp_path):
     with open(os.path.join(fixtures_dir, "heading=000.jpg"), "rb") as f:
         blob = f.read()
     items = [(59.9139, 10.7522, h, blob) for h in (0, 90, 180, 270)]
-    store.write_manifest(store.upload_images(items))
+    # holdout data lives in its own prefix tree (no train/val leakage)
+    store.write_manifest(store.upload_images(items), holdout=True)
     store.merge_snapshot(holdout=True)
     paths, lat, lon = store.download_random_panorama(
         str(tmp_path / "pano"), holdout=True, seed=0
@@ -84,3 +85,36 @@ def test_sqlite_pointer_roundtrip(store, tmp_path):
     store.publish_sqlite(str(src), "raw")
     out = store.download_latest_sqlite("raw", str(tmp_path / "out.sqlite"))
     assert open(out, "rb").read() == b"sqlite-bytes"
+
+
+def test_holdout_snapshot_is_isolated(store, fixtures_dir):
+    """Holdout snapshots must never absorb training manifests."""
+    with open(os.path.join(fixtures_dir, "heading=000.jpg"), "rb") as f:
+        blob = f.read()
+    store.write_manifest(
+        store.upload_images([(10.0, 10.0, 0, blob)]), holdout=False
+    )
+    store.write_manifest(
+        store.upload_images([(20.0, 20.0, 0, blob)]), holdout=True
+    )
+    store.merge_snapshot(holdout=False)
+    store.merge_snapshot(holdout=True)
+    train = store.load_latest_snapshot_df(holdout=False)
+    hold = store.load_latest_snapshot_df(holdout=True)
+    assert set(train["location_id"]) != set(hold["location_id"])
+    assert len(hold) == 1 and float(hold.iloc[0]["lat"]) == 20.0
+
+
+def test_location_id_reference_parity():
+    """Byte-exact with the reference's make_location_id (>ii pack)."""
+    import hashlib
+    import struct
+
+    lat, lon = 59.9139, 10.7522
+    want = hashlib.sha1(
+        b"geo:v1:"
+        + struct.pack(">ii", int(round(lat * 1e7)), int(round(lon * 1e7)))
+    ).hexdigest()[:12]
+    assert location_id(lat, lon) == want
+    with pytest.raises(ValueError):
+        location_id(95.0, 0.0)
