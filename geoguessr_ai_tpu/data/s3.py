@@ -160,6 +160,40 @@ class ObjectStore:
             rows = list(pool.map(put, items))
         return pd.DataFrame(rows)
 
+    def ingest_local_folder(
+        self, folder: str, threads: int = 32, holdout: bool = False
+    ) -> int:
+        """Ingest a local folder of ``streetview_<lat>_<lon>_heading_<h>.jpg``
+        files: threaded upload + manifest (reference parse-and-upload,
+        s3bucket.py:243-282 with STREETVIEW_RE :65-68).
+
+        Returns images ingested.
+        """
+        import re
+
+        pattern = re.compile(
+            r"^streetview_([-+]?\d+(?:\.\d+)?)_([-+]?\d+(?:\.\d+)?)"
+            r"_heading_(\d{1,3})\.jpg$",
+            re.IGNORECASE,
+        )
+        items = []
+        for fname in sorted(os.listdir(folder)):
+            m = pattern.match(fname)
+            if not m:
+                continue
+            lat, lon, heading = (
+                float(m.group(1)),
+                float(m.group(2)),
+                int(m.group(3)),
+            )
+            with open(os.path.join(folder, fname), "rb") as f:
+                items.append((lat, lon, heading, f.read()))
+        if not items:
+            return 0
+        manifest = self.upload_images(items, threads=threads)
+        self.write_manifest(manifest, holdout=holdout)
+        return len(items)
+
     @staticmethod
     def _manifest_prefix(holdout: bool) -> str:
         # Holdout data lives under a fully separate prefix tree, so the
