@@ -222,7 +222,9 @@ class TrainConfig:
     batch_size: int = 24  # per-replica panorama batch (reference: 24 TinyViT)
     num_epochs: int = 1000
     eval_every_steps: int = 1000
-    log_every_steps: int = 1
+    #: Per-log host reads sync the device; 10 keeps the reference's
+    #: per-batch-ish logging without a per-step pipeline stall.
+    log_every_steps: int = 10
     #: Checkpoint retention: keep last + best + top-K epoch checkpoints.
     keep_last_n: int = 3
     early_stop_patience: int = 10

@@ -34,13 +34,16 @@ def _pil_decode(blob: bytes, size: int) -> np.ndarray:
 
 
 def decode_jpeg(blob: bytes, size: int) -> np.ndarray:
-    """Decode one JPEG to (size, size, 3) uint8."""
+    """Decode one JPEG to (size, size, 3) uint8.
+
+    Native libjpeg first; any native failure (grayscale/CMYK/corrupt
+    stream) falls back to PIL, which converts exotic color spaces."""
     try:
         from geoguessr_ai_tpu.data.native import jpeg as native_jpeg
 
         if native_jpeg.available():
             return native_jpeg.decode_resize(blob, size)
-    except ImportError:
+    except Exception:
         pass
     return _pil_decode(blob, size)
 
@@ -99,8 +102,11 @@ class PanoramaBatchIterator:
                 blob = self.fetch_fn(blob)
             if blob is None:
                 continue  # black placeholder (fetch failed)
-            views[v] = decode_jpeg(blob, self.image_size)
-            mask[v] = 1.0
+            try:
+                views[v] = decode_jpeg(blob, self.image_size)
+                mask[v] = 1.0
+            except Exception:
+                pass  # undecodable view -> black placeholder, mask 0
         return views, mask
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -121,7 +121,16 @@ class SuperGuessr(nn.Module):
                     dtype=self.dtype,
                     name="self_attn",
                 )(x.astype(self.dtype), x.astype(self.dtype), mask=attn_mask)
-                fused = x[:, 0].astype(jnp.float32)
+                x = x.astype(jnp.float32)
+                if view_mask is not None:
+                    # view 0 may itself be padding — pool the attention
+                    # outputs of real views instead of blindly taking
+                    # token 0 (the reference's x[:, 0], :344-345)
+                    m = view_mask.astype(jnp.float32)
+                    denom = jnp.clip(jnp.sum(m, axis=1), 1.0, None)
+                    fused = jnp.sum(x * m[..., None], axis=1) / denom[:, None]
+                else:
+                    fused = x[:, 0]
             elif view_mask is not None:
                 denom = jnp.clip(
                     jnp.sum(view_mask.astype(jnp.float32), axis=1), 1.0, None

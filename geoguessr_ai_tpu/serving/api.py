@@ -86,6 +86,9 @@ def create_app(engine=None, backbone: str = "tinyvit",
         with state["lock"]:
             sid = next(state["counter"])
             state["submissions"][sid] = {"blobs": blobs, "result": None}
+            # bound memory: evict oldest submissions beyond 1000
+            while len(state["submissions"]) > 1000:
+                state["submissions"].pop(next(iter(state["submissions"])))
         return {"submission_id": sid, "num_images": len(blobs)}
 
     def _predict(sid: int):
@@ -106,6 +109,7 @@ def create_app(engine=None, backbone: str = "tinyvit",
             if len(sub["blobs"]) == 1:
                 views[0, 1:] = views[0, 0]
             r = eng.predict_batch(views)[0]
+            sub["blobs"] = sub["blobs"][:1]  # keep one image for /image/{id}
             sub["result"] = {
                 "lat": r.lat,
                 "lon": r.lon,

@@ -67,7 +67,7 @@ class ServingEngine:
         bb, mean, std, image_size = build_backbone(bb_cfg)
         self.image_size = image_size
         self.norm = (mean, std)
-        self.num_candidates = num_candidates
+        self.num_candidates = min(num_candidates, self.table.num_cells)
         self.model = SuperGuessr(
             num_cells=self.table.num_cells,
             backbone=bb,

@@ -88,33 +88,43 @@ class CheckpointStore:
         `state` is any pytree (e.g. train.state.TrainState); `extra` metadata
         (config, metric names) rides along in the tree.
         """
+        # Resolve the new best BEFORE writing anything, so the 'last'
+        # checkpoint's meta carries the post-epoch best (a resume after an
+        # improving epoch must not revert to the stale best and let a
+        # worse epoch overwrite the 'best' checkpoint).  NaN monitored
+        # values never become best — NaN comparisons would otherwise
+        # poison all later _is_better checks.
+        monitored_is_valid = not np.isnan(monitored_value)
+        improved = monitored_is_valid and (
+            best_value is None
+            or np.isnan(best_value)
+            or self._is_better(monitored_value, best_value)
+        )
+        new_best = monitored_value if improved else best_value
         tree = {
             "state": state,
             "meta": {
                 "epoch": np.asarray(epoch, np.int64),
                 "monitored_value": np.asarray(monitored_value, np.float64),
                 "best_value": np.asarray(
-                    best_value if best_value is not None else monitored_value,
+                    new_best if new_best is not None else monitored_value,
                     np.float64,
                 ),
                 **(extra or {}),
             },
         }
         self._save_tree("last", tree)
-
-        new_best = best_value
-        if best_value is None or self._is_better(monitored_value, best_value):
-            new_best = monitored_value
-            tree["meta"]["best_value"] = np.asarray(new_best, np.float64)
+        if improved:
             self._save_tree("best", tree)
 
-        # per-epoch, metric-encoded name
-        name = f"epoch_{epoch:04d}_{monitored_value:.6f}"
-        self._save_tree(name, tree)
-        self._prune()
-        if name in {n for n, _, _ in self._epoch_dirs()}:
-            self._notify_artifact(name)
-        return float(new_best)
+        # per-epoch, metric-encoded name (NaN epochs are not kept)
+        if monitored_is_valid:
+            name = f"epoch_{epoch:04d}_{monitored_value:.6f}"
+            self._save_tree(name, tree)
+            self._prune()
+            if name in {n for n, _, _ in self._epoch_dirs()}:
+                self._notify_artifact(name)
+        return float(new_best) if new_best is not None else float("nan")
 
     def _notify_artifact(self, name: str) -> None:
         """Upload a kept epoch checkpoint as a W&B artifact when W&B is

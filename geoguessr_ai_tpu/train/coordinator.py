@@ -213,7 +213,29 @@ def train(
                 monitored_mode=cfg.monitored_mode,
             )
         )
-        if cfg.resume_path or store.has("last"):
+        if cfg.resume_path:
+            # explicit path: an orbax checkpoint dir (e.g. <run>/last or
+            # <run>/best) — reference resume_path semantics
+            # (main_coordinator_idun.py:268-283)
+            resume_store = CheckpointStore(
+                CheckpointConfig(
+                    directory=os.path.dirname(
+                        os.path.abspath(cfg.resume_path)
+                    ),
+                    keep_top_k=cfg.keep_last_n,
+                    monitored_mode=cfg.monitored_mode,
+                )
+            )
+            state, meta = resume_store.restore(
+                state, os.path.basename(os.path.normpath(cfg.resume_path))
+            )
+            start_epoch = int(meta["epoch"]) + 1
+            best_value = float(meta["best_value"])
+            logger.info(
+                f"resumed from {cfg.resume_path} (epoch {start_epoch - 1}, "
+                f"best={best_value:.6f})"
+            )
+        elif store.has("last"):
             state, meta = store.restore(state, "last")
             start_epoch = int(meta["epoch"]) + 1
             best_value = float(meta["best_value"])
@@ -332,9 +354,14 @@ def train(
             best_value = store.save_epoch(
                 jax.device_get(state), epoch, monitored, best_value
             )
-            improved = prev_best is None or best_value != prev_best
+            improved = (
+                not np.isnan(best_value)
+                and (prev_best is None or best_value != prev_best)
+            )
         else:
-            improved = best_value is None or monitored < best_value
+            improved = not np.isnan(monitored) and (
+                best_value is None or monitored < best_value
+            )
             if improved:
                 best_value = monitored
 

@@ -218,9 +218,7 @@ def finetune(
             top1 = top5 = float("nan")
         mlog.log({"finetune/top1": top1, "finetune/top5": top5}, step)
         summary = {"epoch": epoch, "top1": top1, "top5": top5, "step": step}
-        improved = (not np.isnan(top1) and top1 > best_top1) or (
-            best_top1 < 0  # always write a first checkpoint
-        )
+        improved = not np.isnan(top1) and top1 > best_top1
         if checkpoint_dir and improved:
             best_top1 = top1
             import orbax.checkpoint as ocp
