@@ -110,6 +110,14 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     )
     if cache_dir == "0":
         return ""
+    # TPU backends only: CPU AOT entries are machine-feature-pinned and
+    # reload with SIGILL-risk mismatch warnings (observed), and the axon
+    # remote-compile tunnel bypasses the cache anyway.
+    try:
+        if jax.default_backend() != "tpu":
+            return ""
+    except Exception:
+        return ""
     # Best-effort: the cache is a pure optimization, so never let it take
     # down an entry point (read-only checkouts, bad override paths, or a
     # JAX without the flag all just disable it, loudly).
