@@ -1,3 +1,9 @@
+from geoguessr_ai_tpu.geo.polygon import (  # noqa: F401
+    points_in_polygon,
+    polygon_area,
+    polygon_bbox,
+    sample_points_uniform,
+)
 from geoguessr_ai_tpu.geo.core import (
     haversine,
     haversine_matrix,
@@ -16,4 +22,8 @@ __all__ = [
     "ecef2lla",
     "geoguessr_score",
     "nearest_centroid_labels",
+    "points_in_polygon",
+    "polygon_area",
+    "polygon_bbox",
+    "sample_points_uniform",
 ]
