@@ -120,6 +120,118 @@ def xla_mbconv(x, w1, b1, wdw, b2, w3, b3):
     return jax.nn.gelu(out + x.astype(jnp.float32), approximate=True).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v2: double-buffered halo DMA (boom guide §11 pattern) — the v1 kernel
+# stalls on its slab DMA every cell; here cell i+1's slab streams in while
+# cell i computes.  Scratch persists across grid cells.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(
+    x_hbm, w1_ref, b1_ref, wdw_ref, b2_ref, w3_ref, b3_ref, o_ref, slab, sem
+):
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+    n_ht = pl.num_programs(1)
+    i = b * n_ht + ht
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+    C = o_ref.shape[-1]
+    E = w1_ref.shape[-1]
+    W = o_ref.shape[3]
+
+    def dma_for(cell_idx, buf_slot):
+        nb = cell_idx // n_ht
+        nht = jax.lax.rem(cell_idx, n_ht)
+        return pltpu.make_async_copy(
+            x_hbm.at[nb, pl.ds(nht * TH, TH + 2)],
+            slab.at[buf_slot],
+            sem.at[buf_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    total = pl.num_programs(0) * n_ht
+
+    @pl.when(i + 1 < total)
+    def _():
+        dma_for(i + 1, nxt).start()
+
+    dma_for(i, slot).wait()
+
+    x = slab[slot]
+    WP = x.shape[1]
+    h = jnp.dot(
+        x.reshape((TH + 2) * WP, C),
+        w1_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...]
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    h = h.reshape(TH + 2, WP, E)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, WP, E), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, WP, E), 1)
+    row_ok = jnp.logical_and(
+        jnp.logical_or(ht > 0, rows > 0),
+        jnp.logical_or(ht < n_ht - 1, rows < TH + 1),
+    )
+    col_ok = jnp.logical_and(cols > 0, cols < W + 1)
+    h = jnp.where(jnp.logical_and(row_ok, col_ok), h, 0)
+    acc = jnp.zeros((TH, W, E), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + h[dy : dy + TH, dx : dx + W, :].astype(
+                jnp.float32
+            ) * wdw_ref[dy, dx]
+    h2 = jax.nn.gelu(acc + b2_ref[...], approximate=True).astype(x.dtype)
+    out = jnp.dot(
+        h2.reshape(TH * W, E),
+        w3_ref[...],
+        preferred_element_type=jnp.float32,
+    ) + b3_ref[...]
+    res = x[1 : TH + 1, 1 : W + 1, :].astype(jnp.float32)
+    y = jax.nn.gelu(out.reshape(TH, W, C) + res, approximate=True)
+    o_ref[0, 0] = y.astype(o_ref.dtype)
+
+
+def fused_mbconv_v2(x, w1, b1, wdw, b2, w3, b3):
+    B, H, W, C = x.shape
+    E = w1.shape[-1]
+    cpad = (-C) % 128
+    wpad = (-(W + 2)) % 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + wpad), (0, cpad)))
+    w1 = jnp.pad(w1, ((0, cpad), (0, 0)))
+    w3 = jnp.pad(w3, ((0, 0), (0, cpad)))
+    b3 = jnp.pad(b3, ((0, cpad),))
+    CP = C + cpad
+    return pl.pallas_call(
+        _kernel_v2,
+        out_shape=jax.ShapeDtypeStruct((B, H // TH, TH, W, CP), x.dtype),
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((CP, E), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b, h: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, E), lambda b, h: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b, h: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, CP), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CP,), lambda b, h: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TH, W, CP), lambda b, h: (b, h, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2, xp.shape[2], CP), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(xp, w1, b1, wdw, b2, w3, b3).reshape(B, H, W, CP)[..., :C]
+
+
 if __name__ == "__main__":
     import time
     rng = np.random.default_rng(0)
@@ -150,4 +262,11 @@ if __name__ == "__main__":
     d = np.abs(
         np.asarray(rp.astype(jnp.float32)) - np.asarray(rx.astype(jnp.float32))
     )
-    print("max diff:", d.max(), "mean:", d.mean(), flush=True)
+    print("v1 max diff:", d.max(), "mean:", d.mean(), flush=True)
+    fp2 = jax.jit(fused_mbconv_v2)
+    rp2 = bench("pallas fused mbconv v2", fp2)
+    d2 = np.abs(
+        np.asarray(rp2.astype(jnp.float32))
+        - np.asarray(rx.astype(jnp.float32))
+    )
+    print("v2 max diff:", d2.max(), "mean:", d2.mean(), flush=True)
