@@ -6,11 +6,12 @@ hidden activation in VMEM (manual halo DMA from HBM; channel dim padded to
 128 for Mosaic DMA tiling; out-of-image halo masked to preserve SAME-conv
 semantics).
 
-Verdict on v5e at stage-0 shapes (256,128,128,96): numerically exact
-(1e-5 vs XLA) but **36.4 ms vs XLA's 27.8 ms** — the per-cell DMA is not
-double-buffered and the 96->128 channel pad wastes 1/3 of the matmul.
-Kept as groundwork: double-buffering the slab DMA and fusing PatchMerging
-into the same kernel are the obvious next steps.
+Verdict on v5e at stage-0 shapes (256,128,128,96), numerically exact
+(1e-5 vs XLA): v1 (blocking DMA) 36.1 ms, v2 (double-buffered DMA) 32.2 ms,
+XLA 27.4 ms.  The remaining gap is the 96->128 channel pad (Mosaic DMA lane
+tiling wastes 1/3 of both matmuls) and the f32 VPU shifted-add depthwise
+conv.  Next steps: pack channels into sublanes to drop the pad, and fuse
+PatchMerging into the same kernel to amortize further.
 """
 import functools
 import jax, jax.numpy as jnp, numpy as np
