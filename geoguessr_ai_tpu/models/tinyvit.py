@@ -57,20 +57,15 @@ class TinyViTConfig:
     #: checkpointing): trades ~30% more FLOPs for O(depth) less activation
     #: memory, enabling larger train batches.
     remat: bool = False
-    #: Fused Pallas window attention (ops/window_attention.py).  The
-    #: kernels beat XLA 2.2-2.4x in isolation (14.2/14.8/5.8 ms vs
-    #: 33.9/32.3/7.7 ms at s2/s1/s3 shapes, v5e), but every integration
-    #: layout measured SLOWER end-to-end (607-525 vs 668 img/s at B=256):
-    #: the head-major kernel layout forces (B,N,H,hd)<->(B,H,N,hd)
-    #: reorders around the pallas_call that XLA materializes as transposes
-    #: costing more than the kernel saves, and Mosaic rejects slicing the
-    #: head axis of token-major blocks (last-two-dims rule; its tpu.matmul
-    #: also allows only one leading batch dim).  Default False — the XLA
-    #: attention with f32 scores is the production path; flipping this on
-    #: is only useful for kernel development.  A fully-fused block kernel
-    #: (LN+qkv+attention+proj in one pallas_call) is the planned way to
-    #: make the kernel win end-to-end.
-    pallas_attention: bool = False
+    #: Per-stage fused Pallas window attention (ops/window_attention.py).
+    #: Per-fusion profiling at B=256: the kernel path wins stage 1
+    #: in-context (72.0 vs 86.2 ms including its layout einsums) but loses
+    #: stage 2 (168.4 vs 104.0 — the (B,N,H,hd) projection layouts around
+    #: the kernel outweigh the kernel's own 94 ms) and stage 3 (+3 ms), so
+    #: the default enables stage 1 only.  Earlier all-or-nothing attempts
+    #: measured 525-607 vs 668 img/s; kernel-only isolation is 2.2-2.4x
+    #: faster than XLA at every stage.  () disables Pallas entirely.
+    pallas_attention_stages: Tuple[int, ...] = (1,)
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -535,7 +530,7 @@ class TinyViT(nn.Module):
 
         # window_attention selects Pallas-vs-XLA per lowering platform
         # (lax.platform_dependent), so no device check is needed here.
-        use_pallas = cfg.pallas_attention
+        pallas_stages = cfg.pallas_attention_stages
 
         # Per-block stochastic-depth schedule (linear ramp, timm convention).
         total_blocks = sum(cfg.depths)
@@ -577,7 +572,7 @@ class TinyViT(nn.Module):
                         dpr[block_idx],
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
-                        use_pallas_attention=use_pallas,
+                        use_pallas_attention=stage in pallas_stages,
                         name=f"stage{stage}_block{d}",
                     )(x, train)
                     block_idx += 1
