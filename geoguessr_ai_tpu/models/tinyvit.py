@@ -324,6 +324,37 @@ class WindowAttention(nn.Module):
         # directly by the projection einsums — materializing transposes
         # around the pallas_call instead costs more than the kernel saves
         # (measured 525 vs 668 img/s end-to-end).
+        if self.use_pallas and N % 128 == 0 and N >= 512:
+            # Large windows: the qkv-fused kernel consumes the raw
+            # (B, N, 3D) projection — no layout einsums at the boundary
+            # (those cost more than the kernel saves; see the per-fusion
+            # profile notes on pallas_attention_stages).
+            from geoguessr_ai_tpu.ops.window_attention import (
+                window_attention_qkv,
+            )
+
+            qkv = (
+                jnp.einsum(
+                    "bnc,ck->bnk",
+                    x,
+                    qkv_kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
+                + qkv_bias.astype(self.dtype)
+            )
+            out = window_attention_qkv(
+                qkv, attn_bias, scale, self.num_heads
+            )
+            return (
+                jnp.einsum(
+                    "bnd,dc->bnc",
+                    out,
+                    proj_kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
+                + proj_bias.astype(self.dtype)
+            )
+
         if self.use_pallas and N % 128 == 0:
             from geoguessr_ai_tpu.ops.window_attention import (
                 window_attention,

@@ -238,6 +238,153 @@ def _bwd(scale, residuals, g):
 window_attention.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# qkv-fused variant: consumes the raw (W, N, 3D) qkv projection directly —
+# no (B,N,H,hd) layout einsums around the pallas_call (profiling showed
+# those cost more than the head-major kernel saves at stage-2 shapes).
+# Heads are lane-sliced inside VMEM; output writes concatenated heads as a
+# plain (W, N, D) tensor for the downstream projection.
+#
+# MEASURED VERDICT (v5e, TinyViT-21M-512 e2e, bf16 B=256): enabling this at
+# stage 2 via pallas_attention_stages=(1, 2) gives 664 img/s vs 697 img/s
+# for the default (1,) — the XLA einsum path still wins at stage-2 shapes
+# (N=1024, 12 heads, hd=32) because the per-head lane-sliced dots are
+# narrow (32-wide) on the MXU while XLA batches all heads into one fat
+# contraction.  Parity vs XLA: 0.0073 max emb diff (bf16-level).  Kept as
+# a tested opt-in: it becomes the right building block once the LN/proj
+# epilogue is fused in (ROADMAP item 1), which removes the remaining
+# boundary and amortises the narrow dots.
+# ---------------------------------------------------------------------------
+
+
+def _qkv_fused_kernel(
+    q_ref, kv_ref, b_ref, o_ref, *, scale: float, num_heads: int
+):
+    q_all = q_ref[0]  # (BQ, 3D)
+    kv_all = kv_ref[0]  # (N, 3D)
+    # Bias travels as bf16 (an f32 (H, BQ, N) block alone blows the 16MB
+    # scoped-VMEM limit at stage-2 shapes: 12x256x1024xf32 = 12.6MB);
+    # upcast per-head at use.
+    b = b_ref[...].astype(jnp.float32)  # (H, BQ, N)
+    D3 = q_all.shape[-1]
+    hd = D3 // (3 * num_heads)
+    outs = []
+    for h in range(num_heads):
+        base = h * 3 * hd
+        q = q_all[:, base : base + hd]
+        k = kv_all[:, base + hd : base + 2 * hd]
+        v = kv_all[:, base + 2 * hd : base + 3 * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + b[h]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _attention_qkv_fused_pallas(qkv, bias, scale, num_heads, block_q=128):
+    # block_q=128 (not BLOCK_Q=256): with 12 heads at N=1024 the bias block
+    # plus double-buffered qkv views must stay under the 16MB scoped-VMEM
+    # stack; 256 OOMs (measured: 30MB requested).
+    W, N, D3 = qkv.shape
+    D = D3 // 3
+    block_q = min(block_q, N)
+    bias = bias.astype(qkv.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _qkv_fused_kernel, scale=scale, num_heads=num_heads
+        ),
+        out_shape=jax.ShapeDtypeStruct((W, N, D), qkv.dtype),
+        grid=(N // block_q, W),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, D3),
+                lambda qt, w: (w, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N, D3),
+                lambda qt, w: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bias.shape[0], block_q, N),
+                lambda qt, w: (0, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D),
+            lambda qt, w: (w, qt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(qkv, qkv, bias)  # same array via two views: q rows + full-window kv
+
+
+def _attention_qkv_fused_xla(qkv, bias, scale, num_heads):
+    W, N, D3 = qkv.shape
+    hd = D3 // (3 * num_heads)
+    x = qkv.reshape(W, N, num_heads, 3 * hd)
+    q, k, v = jnp.split(x, 3, axis=-1)  # (W, N, H, hd)
+    s = jnp.einsum(
+        "wnhd,wmhd->whnm", q, k, preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias[None].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("whnm,wmhd->wnhd", p, v)
+    return o.reshape(W, N, num_heads * hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def window_attention_qkv(qkv, bias, scale: float, num_heads: int):
+    """Window attention over a fused (W, N, 3D) qkv tensor.
+
+    Channel layout matches the standard reshape/split convention:
+    channel c -> (head = c // (3*hd), slot = (c %% (3*hd)) // hd) with
+    slot 0/1/2 = q/k/v.  Returns (W, N, D).
+    """
+    return jax.lax.platform_dependent(
+        qkv,
+        bias,
+        cpu=functools.partial(
+            _attention_qkv_fused_xla, scale=scale, num_heads=num_heads
+        ),
+        default=functools.partial(
+            _attention_qkv_fused_pallas, scale=scale, num_heads=num_heads
+        ),
+    )
+
+
+def _qkv_fwd(qkv, bias, scale, num_heads):
+    return window_attention_qkv(qkv, bias, scale, num_heads), (qkv, bias)
+
+
+def _qkv_bwd(scale, num_heads, residuals, g):
+    qkv, bias = residuals
+    _, vjp = jax.vjp(
+        lambda qkv, bias: _attention_qkv_fused_xla(
+            qkv, bias, scale, num_heads
+        ),
+        qkv,
+        bias,
+    )
+    return vjp(g)
+
+
+window_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
 def supports_pallas() -> bool:
     """Pallas TPU kernels need a TPU-ish backend; CPU tests use the XLA
     fallback instead."""

@@ -34,6 +34,52 @@ def test_pallas_kernels_match_xla_interpret(variant):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-2)
 
 
+def test_qkv_fused_kernel_matches_xla_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geoguessr_ai_tpu.ops import window_attention as wa
+
+    W, H, N, hd = 4, 12, 256, 32
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.normal(size=(W, N, 3 * H * hd)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32)
+    scale = hd**-0.5
+    want = np.asarray(wa._attention_qkv_fused_xla(qkv, bias, scale, H))
+    with pltpu.force_tpu_interpret_mode():
+        got = wa._attention_qkv_fused_pallas(qkv, bias, scale, H)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-2)
+
+
+def test_qkv_fused_custom_vjp_matches_xla_grad():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from geoguessr_ai_tpu.ops import window_attention as wa
+
+    W, H, N, hd = 2, 3, 128, 32
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(W, N, 3 * H * hd)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32)
+    scale = hd**-0.5
+
+    def loss_ref(qkv, bias):
+        return jnp.sum(
+            wa._attention_qkv_fused_xla(qkv, bias, scale, H) ** 2
+        )
+
+    def loss_pallas(qkv, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                wa.window_attention_qkv(qkv, bias, scale, H) ** 2
+            )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1))(qkv, bias)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2
+        )
+
+
 def test_custom_vjp_backward_matches_xla_grad():
     from geoguessr_ai_tpu.ops import window_attention as wa
 
