@@ -77,6 +77,63 @@ class PrototypeBank:
             )
 
 
+@dataclasses.dataclass
+class MemberBank:
+    """Fixed-shape per-(cell, prototype) member store.
+
+    TPU re-design of the reference's within-cluster refinement
+    (proto_refiner.py:239-269 `_within_cluster_refinement`), which loads
+    ragged member lists from a HF dataset per query.  Here members are
+    capped at M per prototype and padded into dense arrays so one gather
+    per batch serves the whole top-k candidate set; embeddings are
+    optionally dim-reduced with a seeded orthonormal random projection
+    (Johnson-Lindenstrauss: pairwise distances approximately preserved)
+    to keep the bank device-resident.
+    """
+
+    embeddings: np.ndarray  # (num_cells, P, M, Dr) float16/32
+    coords: np.ndarray  # (num_cells, P, M, 2) float32 (lng, lat)
+    mask: np.ndarray  # (num_cells, P, M) float32
+    projection: Optional[np.ndarray] = None  # (D, Dr) or None (Dr == D)
+
+    @property
+    def max_members(self) -> int:
+        return self.embeddings.shape[2]
+
+    def save(self, path: str) -> None:
+        arrs = dict(
+            embeddings=self.embeddings,
+            coords=self.coords,
+            mask=self.mask,
+        )
+        if self.projection is not None:
+            arrs["projection"] = self.projection
+        np.savez_compressed(path, **arrs)
+
+    @staticmethod
+    def load(path: str) -> "MemberBank":
+        with np.load(path) as z:
+            return MemberBank(
+                embeddings=z["embeddings"],
+                coords=z["coords"],
+                mask=z["mask"],
+                projection=z["projection"] if "projection" in z else None,
+            )
+
+
+def make_projection(
+    embed_dim: int, reduce_dim: int, seed: int = 0
+) -> Optional[np.ndarray]:
+    """Seeded orthonormal (columns) Gaussian projection, or None if no
+    reduction is needed."""
+    if reduce_dim >= embed_dim:
+        return None
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(embed_dim, reduce_dim))
+    q, _ = np.linalg.qr(g)
+    return np.ascontiguousarray(q, np.float32)
+
+
 def build_prototype_bank(
     proto_df,
     embeddings_by_index: Dict[int, np.ndarray],
@@ -143,9 +200,21 @@ def refine(
     initial_lnglat: jax.Array,  # (B, 2)
     temperature: float = DEFAULT_TEMPERATURE,
     max_refinement_km: float = DEFAULT_MAX_REFINEMENT_KM,
+    member_emb: Optional[jax.Array] = None,  # (num_cells, P, M, Dr)
+    member_coords: Optional[jax.Array] = None,  # (num_cells, P, M, 2)
+    member_mask: Optional[jax.Array] = None,  # (num_cells, P, M)
+    projection: Optional[jax.Array] = None,  # (D, Dr)
 ):
     """Vectorized refinement.  Returns (refined_lnglat, refined_cell,
     changed_mask) — all (B, ...) arrays; jit/pjit friendly.
+
+    When a member bank is supplied, each candidate's guess is the
+    coordinates of the *closest* member image in its best-matching
+    cluster (the reference's within-cluster refinement,
+    proto_refiner.py:239-269 — which argmaxes raw distance, i.e. the
+    furthest image, and crashes on its commented-out ``self.dataset``;
+    both fixed here), replacing the cluster centroid before candidate
+    selection and the max-refinement gate.
     """
     # Gather candidate banks: (B, K, P, D/2/1)
     cand_emb = bank_embeddings[topk_ids]
@@ -165,6 +234,34 @@ def refine(
         cand_coords, best_p[..., None, None], axis=2
     )[:, :, 0, :]  # (B, K, 2)
     has_proto = jnp.any(cand_mask > 0, axis=-1)  # (B, K)
+
+    if member_emb is not None:
+        # Member-level second stage: closest member of the chosen cluster.
+        q = query_emb
+        if projection is not None:
+            q = q @ projection  # (B, Dr)
+        cand_members = member_emb[topk_ids]  # (B, K, P, M, Dr)
+        cand_members = jnp.take_along_axis(
+            cand_members, best_p[..., None, None, None], axis=2
+        )[:, :, 0]  # (B, K, M, Dr)
+        cand_mcoords = jnp.take_along_axis(
+            member_coords[topk_ids], best_p[..., None, None, None], axis=2
+        )[:, :, 0]  # (B, K, M, 2)
+        cand_mmask = jnp.take_along_axis(
+            member_mask[topk_ids], best_p[..., None, None], axis=2
+        )[:, :, 0]  # (B, K, M)
+        mdiff = cand_members.astype(jnp.float32) - q[:, None, None, :]
+        md2 = jnp.sum(mdiff * mdiff, axis=-1)  # (B, K, M)
+        md2 = jnp.where(cand_mmask > 0, md2, jnp.inf)
+        best_m = jnp.argmin(md2, axis=-1)  # (B, K)
+        m_coords = jnp.take_along_axis(
+            cand_mcoords, best_m[..., None, None], axis=2
+        )[:, :, 0, :]  # (B, K, 2)
+        has_member = jnp.any(cand_mmask > 0, axis=-1)
+        # Clusters without stored members keep the prototype centroid,
+        # like the reference's count==0 branch (:251-252).
+        best_coords = jnp.where(has_member[..., None], m_coords, best_coords)
+
     # Candidates without prototypes fall back to the initial prediction's
     # coordinates so a forced selection cannot fly to (0, 0).
     best_coords = jnp.where(
@@ -205,14 +302,28 @@ class ProtoRefiner:
         topk: int = DEFAULT_TOPK,
         max_refinement: float = DEFAULT_MAX_REFINEMENT_KM,
         temperature: float = DEFAULT_TEMPERATURE,
+        member_bank: Optional[MemberBank] = None,
     ):
         self.bank = bank
+        self.member_bank = member_bank
         self.topk = topk
         self.max_refinement = float(max_refinement)
         self.temperature = float(temperature)
         self._emb = jnp.asarray(bank.embeddings)
         self._coords = jnp.asarray(bank.coords)
         self._mask = jnp.asarray(bank.mask)
+        mkw = {}
+        if member_bank is not None:
+            mkw = dict(
+                member_emb=jnp.asarray(member_bank.embeddings),
+                member_coords=jnp.asarray(member_bank.coords),
+                member_mask=jnp.asarray(member_bank.mask),
+                projection=(
+                    None
+                    if member_bank.projection is None
+                    else jnp.asarray(member_bank.projection)
+                ),
+            )
         self._refine = jax.jit(
             lambda q, ids, probs, init: refine(
                 self._emb,
@@ -224,6 +335,7 @@ class ProtoRefiner:
                 init,
                 temperature=self.temperature,
                 max_refinement_km=self.max_refinement,
+                **mkw,
             )
         )
 
@@ -257,10 +369,18 @@ def try_refine(result) -> Optional[Tuple[float, float]]:
     from geoguessr_ai_tpu import config as C
 
     bank_path = os.path.join(C.GEOCELL_DIR, "prototype_bank.npz")
+    member_path = os.path.join(C.GEOCELL_DIR, "prototype_member_bank.npz")
     if _DEFAULT_REFINER is None:
         if not os.path.exists(bank_path):
             return None
-        _DEFAULT_REFINER = ProtoRefiner(PrototypeBank.load(bank_path))
+        members = (
+            MemberBank.load(member_path)
+            if os.path.exists(member_path)
+            else None
+        )
+        _DEFAULT_REFINER = ProtoRefiner(
+            PrototypeBank.load(bank_path), member_bank=members
+        )
     emb = result.embedding
     if emb.ndim == 2:  # (V, D) views -> fused
         emb = emb.mean(axis=0)

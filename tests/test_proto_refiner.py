@@ -112,3 +112,74 @@ def test_bank_save_load_roundtrip(tmp_path):
     loaded = PrototypeBank.load(p)
     np.testing.assert_array_equal(loaded.embeddings, bank.embeddings)
     np.testing.assert_array_equal(loaded.mask, bank.mask)
+
+
+def _member_bank():
+    """Members for cell 1 proto 0: two images at distinct coords."""
+    emb = np.zeros((3, 2, 4, D), np.float16)
+    coords = np.zeros((3, 2, 4, 2), np.float32)
+    mask = np.zeros((3, 2, 4), np.float32)
+    # member 0 ~ e1 (matches query), member 1 ~ e2
+    emb[1, 0, 0, 1] = 1.0
+    coords[1, 0, 0] = (11.5, 61.5)
+    mask[1, 0, 0] = 1.0
+    emb[1, 0, 1, 2] = 1.0
+    coords[1, 0, 1] = (12.5, 62.5)
+    mask[1, 0, 1] = 1.0
+    from geoguessr_ai_tpu.models.proto_refiner import MemberBank
+
+    return MemberBank(embeddings=emb, coords=coords, mask=mask)
+
+
+def test_member_stage_picks_closest_member():
+    bank = _bank()
+    r = ProtoRefiner(bank, topk=2, member_bank=_member_bank())
+    q = np.zeros((1, D), np.float32)
+    q[0, 1] = 1.0  # closest to member 0 of cell 1's cluster
+    ids = np.array([[0, 1]], np.int32)
+    probs = np.array([[0.4, 0.6]], np.float32)
+    init = np.array([[11.0, 61.0]], np.float32)
+    coords, cells, changed = r(q, ids, probs, init)
+    assert cells[0] == 1
+    # refined guess is member 0's coords, not the cluster centroid
+    np.testing.assert_allclose(coords[0], [11.5, 61.5], atol=1e-5)
+
+
+def test_member_stage_falls_back_to_centroid_when_no_members():
+    bank = _bank()
+    mb = _member_bank()
+    mb.mask[:] = 0.0  # no stored members anywhere
+    r = ProtoRefiner(bank, topk=2, member_bank=mb)
+    q = np.zeros((1, D), np.float32)
+    q[0, 1] = 1.0
+    ids = np.array([[0, 1]], np.int32)
+    probs = np.array([[0.4, 0.6]], np.float32)
+    init = np.array([[11.0, 61.0]], np.float32)
+    coords, cells, changed = r(q, ids, probs, init)
+    assert cells[0] == 1
+    np.testing.assert_allclose(coords[0], [11.0, 61.0], atol=1e-5)
+
+
+def test_member_bank_save_load_roundtrip_with_projection(tmp_path):
+    from geoguessr_ai_tpu.models.proto_refiner import (
+        MemberBank,
+        make_projection,
+    )
+
+    proj = make_projection(D, 4, seed=1)
+    assert proj.shape == (D, 4)
+    # orthonormal columns
+    np.testing.assert_allclose(proj.T @ proj, np.eye(4), atol=1e-5)
+    mb = _member_bank()
+    mb = MemberBank(
+        embeddings=mb.embeddings[..., :4],
+        coords=mb.coords,
+        mask=mb.mask,
+        projection=proj,
+    )
+    p = str(tmp_path / "members.npz")
+    mb.save(p)
+    loaded = MemberBank.load(p)
+    np.testing.assert_array_equal(loaded.embeddings, mb.embeddings)
+    np.testing.assert_allclose(loaded.projection, proj)
+    assert loaded.max_members == 4

@@ -60,3 +60,60 @@ def test_bank_joins_by_coordinates_and_fuses_headings():
     # cell 1
     np.testing.assert_allclose(bank.embeddings[1, 0], np.full(D, -1.0))
     np.testing.assert_allclose(bank.mask, [[1, 1], [1, 0]])
+
+
+def test_member_bank_aligns_slots_and_projects():
+    from tools.build_prototype_bank import (
+        build_bank_from_manager,
+        build_member_bank_from_manager,
+    )
+
+    D = 8
+    rows = [
+        {"lat": 10.0, "lon": 20.0, "heading": 0,
+         "embedding": np.full(D, 2.0, np.float32)},
+        {"lat": 10.1, "lon": 20.1, "heading": 0,
+         "embedding": np.full(D, 4.0, np.float32)},
+        {"lat": 11.0, "lon": 21.0, "heading": 0,
+         "embedding": np.full(D, 10.0, np.float32)},
+        {"lat": -5.0, "lon": 30.0, "heading": 0,
+         "embedding": np.full(D, -1.0, np.float32)},
+    ]
+    emb_df = pd.DataFrame(rows)
+    mgr = _StubManager()
+    bank = build_bank_from_manager(mgr, emb_df, max_protos=2)
+    mbank = build_member_bank_from_manager(
+        mgr, emb_df, max_protos=2, max_members=2, reduce_dim=4
+    )
+    # shapes: same (cells, protos) layout as the prototype bank
+    assert mbank.embeddings.shape[:2] == bank.embeddings.shape[:2]
+    assert mbank.embeddings.shape[2:] == (2, 4)
+    assert mbank.projection.shape == (D, 4)
+    # slot (0, 0) = cell 0's biggest cluster: both members stored
+    np.testing.assert_allclose(mbank.mask[0, 0], [1, 1])
+    got = {tuple(np.round(c, 4)) for c in mbank.coords[0, 0].astype(float)}
+    assert got == {(20.0, 10.0), (20.1, 10.1)}
+    # member embeddings are the projected originals
+    proj = mbank.projection
+    want = {
+        tuple(np.round(np.full(D, s, np.float32) @ proj, 2))
+        for s in (2.0, 4.0)
+    }
+    have = {
+        tuple(np.round(mbank.embeddings[0, 0, m].astype(np.float32), 2))
+        for m in range(2)
+    }
+    assert want == have
+    # cell 1 cluster has one member; second slot masked
+    np.testing.assert_allclose(mbank.mask[1, 0], [1, 0])
+    # refiner integration: query near cluster-0 member 2.0 refines to its coords
+    from geoguessr_ai_tpu.models.proto_refiner import ProtoRefiner
+
+    r = ProtoRefiner(bank, topk=2, member_bank=mbank)
+    q = np.full((1, D), 2.0, np.float32)
+    ids = np.array([[0, 1]], np.int32)
+    probs = np.array([[0.9, 0.1]], np.float32)
+    init = np.array([[20.05, 10.05]], np.float32)
+    coords, cells, changed = r(q, ids, probs, init)
+    assert cells[0] == 0
+    np.testing.assert_allclose(coords[0], [20.0, 10.0], atol=1e-2)

@@ -13,6 +13,11 @@ train/serve time (see geoguessr_ai_tpu/geocells/manager.py).
 
 import argparse
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from geoguessr_ai_tpu.geocells.manager import GeocellManager
 
 

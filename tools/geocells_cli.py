@@ -19,6 +19,11 @@ import json
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from geoguessr_ai_tpu import config as C
 
 

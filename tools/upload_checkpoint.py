@@ -6,6 +6,11 @@ Reference behavior: tmp.py:1-3 (manual `upload_model_checkpoint(...)` call).
 
 import argparse
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from geoguessr_ai_tpu.data.s3 import ObjectStore
 
 
