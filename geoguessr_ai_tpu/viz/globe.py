@@ -214,6 +214,122 @@ def visualize_geocells(
     return write_globe_html(layers, out_path, title="geocells")
 
 
+def _category_color(key: str) -> List[int]:
+    h = hash(str(key))
+    return [
+        64 + (h % 191),
+        64 + ((h // 191) % 191),
+        64 + ((h // 36481) % 191),
+        230,
+    ]
+
+
+def visualize_cell_clusters(
+    cell,
+    out_path: str = "data/out/cell_clusters.html",
+) -> str:
+    """One cell's points colored by OPTICS cluster + cluster centroids
+    (reference cell_visualizer.py / geocells_entrypoint.py mode 8).
+
+    Accepts a geocells.cell.Cell: ``curr_coords`` are (lat, lng) tuples;
+    ``clusters`` maps cluster_id -> {points, centroid [lng, lat], hashes}.
+    Points not in any cluster render grey.
+    """
+    clusters = getattr(cell, "clusters", None) or {}
+    # map point -> cluster id via the per-cluster coordinate-hash sets
+    label_of = {}
+    for cid, cdata in clusters.items():
+        for h in cdata.get("hashes", ()):
+            label_of[h] = cid
+    pts = []
+    cents = []
+    for lat, lng in cell.curr_coords:
+        lab = label_of.get(hash((lat, lng)), -1)
+        color = (
+            [120, 120, 120, 160]
+            if lab < 0
+            else _category_color(f"{cell.id}:{lab}")
+        )
+        pts.append(
+            {
+                "position": [float(lng), float(lat)],
+                "color": color,
+                "tooltip": f"cluster {lab}",
+            }
+        )
+    for cid, cdata in sorted(clusters.items()):
+        cents.append(
+            {
+                "position": [
+                    float(cdata["centroid"][0]),
+                    float(cdata["centroid"][1]),
+                ],
+                "color": [255, 255, 255, 255],
+                "tooltip": f"cluster {cid} ({len(cdata['points'])} pts)",
+            }
+        )
+    lat0, lng0 = (
+        (float(cell.curr_coords[0][0]), float(cell.curr_coords[0][1]))
+        if len(cell.curr_coords)
+        else (30.0, 10.0)
+    )
+    layers = [
+        {
+            "type": "ScatterplotLayer",
+            "id": "members",
+            "data": pts,
+            "props": {"radiusMinPixels": 3},
+            "accessors": {"getPosition": "position", "getFillColor": "color"},
+        },
+        {
+            "type": "ScatterplotLayer",
+            "id": "centroids",
+            "data": cents,
+            "props": {"radiusMinPixels": 6, "stroked": True},
+            "accessors": {"getPosition": "position", "getFillColor": "color"},
+        },
+    ]
+    return write_globe_html(
+        layers,
+        out_path,
+        title=f"cell {getattr(cell, 'id', '?')} clusters",
+        view_state={"longitude": lng0, "latitude": lat0, "zoom": 5.0},
+    )
+
+
+def visualize_admin_regions(
+    manager,
+    out_path: str = "data/out/admin_regions.html",
+    max_points: int = 200_000,
+) -> str:
+    """Training points colored by admin1 region (reference
+    admin_visualizer.py / load_admin_data.py — rendered from the
+    GeocellManager's point index instead of raw GADM polygons, which are
+    not part of the shipped artifacts)."""
+    data = []
+    for i, ((lat, lng), rec) in enumerate(manager.point_info.items()):
+        if i >= max_points:
+            break
+        key = f"{rec.country}/{rec.admin1}"
+        data.append(
+            {
+                "position": [float(lng), float(lat)],
+                "color": _category_color(key),
+                "tooltip": key,
+            }
+        )
+    layers = [
+        {
+            "type": "ScatterplotLayer",
+            "id": "admin-points",
+            "data": data,
+            "props": {"radiusMinPixels": 2},
+            "accessors": {"getPosition": "position", "getFillColor": "color"},
+        }
+    ]
+    return write_globe_html(layers, out_path, title="admin regions")
+
+
 def visualize_single_guess(
     gt_lat: float,
     gt_lon: float,

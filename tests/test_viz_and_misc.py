@@ -111,3 +111,53 @@ def test_step_profiler_schedule(tmp_path, monkeypatch):
         prof.step()
     # two capture cycles: start/stop twice
     assert events == ["start", "stop", "start", "stop"]
+
+
+def test_visualize_cell_clusters_html(tmp_path):
+    from geoguessr_ai_tpu.geocells.cell import Cell
+    from geoguessr_ai_tpu.viz.globe import visualize_cell_clusters
+
+    rng = np.random.default_rng(0)
+    pts = [
+        (10.0 + float(rng.normal(0, 0.05)), 20.0 + float(rng.normal(0, 0.05)))
+        for _ in range(20)
+    ] + [
+        (11.0 + float(rng.normal(0, 0.05)), 21.0 + float(rng.normal(0, 0.05)))
+        for _ in range(20)
+    ]
+    c = Cell("t", "Testland", "T1", points=pts)
+    c.cluster()
+    out = visualize_cell_clusters(c, str(tmp_path / "cell.html"))
+    html = open(out).read()
+    assert '"id": "members"' in html and '"id": "centroids"' in html
+    import json as _json
+    import re as _re
+
+    spec = _json.loads(
+        _re.search(r"const layersSpec = (\[.*?\]);\n", html, _re.S).group(1)
+    )
+    members = next(s for s in spec if s["id"] == "members")
+    cents = next(s for s in spec if s["id"] == "centroids")
+    assert len(members["data"]) == 40
+    assert len(cents["data"]) == len(c.clusters) >= 1
+    # every member carries a cluster label tooltip and no grey (unclustered)
+    assert all(m["tooltip"].startswith("cluster ") for m in members["data"])
+
+
+def test_visualize_admin_regions_html(tmp_path):
+    from geoguessr_ai_tpu.viz.globe import visualize_admin_regions
+
+    class _Rec:
+        def __init__(self, country, admin1):
+            self.country, self.admin1 = country, admin1
+
+    class _Mgr:
+        point_info = {
+            (10.0, 20.0): _Rec("Norway", "Rogaland"),
+            (10.1, 20.1): _Rec("Norway", "Oslo"),
+            (-5.0, 30.0): _Rec("Kenya", "Nairobi"),
+        }
+
+    out = visualize_admin_regions(_Mgr(), str(tmp_path / "admin.html"))
+    html = open(out).read()
+    assert "Norway/Rogaland" in html and "Kenya/Nairobi" in html

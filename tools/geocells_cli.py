@@ -9,6 +9,8 @@ The equivalent of the reference's 12-mode geocells_entrypoint.py
   centroids   — export the centroid-table .npz
   info        — counts per country
   visualize   — geocell globe HTML
+  visualize-cell  — one cell's OPTICS clusters (reference cell_visualizer)
+  visualize-admin — points colored by admin1 (reference admin_visualizer)
   naive       — naive rectangle partition of a point file
 """
 
@@ -82,6 +84,28 @@ def cmd_visualize(args):
     print(visualize_geocells(tab, args.out))
 
 
+def cmd_visualize_cell(args):
+    from geoguessr_ai_tpu.geocells.manager import GeocellManager
+    from geoguessr_ai_tpu.viz.globe import visualize_cell_clusters
+
+    mgr = GeocellManager(args.geocell_dir)
+    for idx, country, admin1, cell in mgr.iter_cells():
+        if idx == args.cell_index:
+            if not getattr(cell, "clusters", None):
+                cell.cluster()
+            print(visualize_cell_clusters(cell, args.out))
+            return
+    raise SystemExit(f"no cell with index {args.cell_index}")
+
+
+def cmd_visualize_admin(args):
+    from geoguessr_ai_tpu.geocells.manager import GeocellManager
+    from geoguessr_ai_tpu.viz.globe import visualize_admin_regions
+
+    mgr = GeocellManager(args.geocell_dir)
+    print(visualize_admin_regions(mgr, args.out, max_points=args.max_points))
+
+
 def cmd_naive(args):
     from geoguessr_ai_tpu.geocells.naive_cell import partition
 
@@ -121,6 +145,18 @@ def main() -> None:
     v.add_argument("--centroids", default=C.CENTROID_TABLE_PATH)
     v.add_argument("--out", default="data/out/geocells_globe.html")
     v.set_defaults(fn=cmd_visualize)
+
+    vc = sub.add_parser("visualize-cell")
+    vc.add_argument("--geocell-dir", default=f"{C.GEOCELL_DIR}/finished_geocells")
+    vc.add_argument("--cell-index", type=int, required=True)
+    vc.add_argument("--out", default="data/out/cell_clusters.html")
+    vc.set_defaults(fn=cmd_visualize_cell)
+
+    va = sub.add_parser("visualize-admin")
+    va.add_argument("--geocell-dir", default=f"{C.GEOCELL_DIR}/finished_geocells")
+    va.add_argument("--max-points", type=int, default=200_000)
+    va.add_argument("--out", default="data/out/admin_regions.html")
+    va.set_defaults(fn=cmd_visualize_admin)
 
     n = sub.add_parser("naive")
     n.add_argument("--points", required=True)
