@@ -48,7 +48,9 @@ def main() -> None:
     # report absolute panoramas/s/chip (vs_baseline still vs 5k).
     best = 0.0
     best_bs = 0
-    for batch_imgs in (256,):
+    # B=320 measured best: 705 img/s vs 697 at B=256 / 675 at B=384
+    # (layout-dependent; see docs/performance.md batch sweep).
+    for batch_imgs in (320,):
         x = jax.device_put(
             jnp.zeros(
                 (batch_imgs, cfg.image_size, cfg.image_size, 3), jnp.bfloat16

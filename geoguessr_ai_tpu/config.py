@@ -235,6 +235,9 @@ class TrainConfig:
     log_every_steps: int = 10
     #: Checkpoint retention: keep last + best + top-K epoch checkpoints.
     keep_last_n: int = 3
+    #: Overlap checkpoint IO with the next epoch's compute (orbax async
+    #: save + background last/best copies; train.checkpoints).
+    async_checkpoints: bool = False
     early_stop_patience: int = 10
     monitored_metric: str = "val_loss"
     monitored_mode: str = "min"

@@ -31,6 +31,14 @@ class CheckpointConfig:
     directory: str
     keep_top_k: int = 3
     monitored_mode: str = "min"  # "min" (loss) or "max" (score)
+    # Async saves: orbax's StandardCheckpointer is an AsyncCheckpointer
+    # under the hood — when True, save_epoch returns as soon as the
+    # device->host copy is snapshotted and the directory commit runs in a
+    # background thread, overlapping checkpoint IO with the next epoch's
+    # compute.  The store waits for the in-flight save before touching the
+    # same paths again (overwrite/prune/restore), so artifacts are always
+    # complete when read back.
+    async_save: bool = False
 
 
 class CheckpointStore:
@@ -44,6 +52,8 @@ class CheckpointStore:
         self.cfg = cfg
         os.makedirs(cfg.directory, exist_ok=True)
         self._ckptr = _checkpointer()
+        self._bg: Optional[Any] = None  # in-flight finalize thread
+        self._bg_error: Optional[BaseException] = None
 
     # -- helpers ---------------------------------------------------------
 
@@ -71,7 +81,27 @@ class CheckpointStore:
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, tree)
+
+    def _join(self) -> None:
+        """Finish any in-flight async finalize before touching the store."""
+        if self._bg is not None:
+            self._bg.join()
+            self._bg = None
         self._ckptr.wait_until_finished()
+        if self._bg_error is not None:
+            err, self._bg_error = self._bg_error, None
+            raise err
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has fully committed
+        (including the last/best copies and pruning)."""
+        self._join()
+
+    def _copy_tree(self, src_name: str, dst_name: str) -> None:
+        src, dst = self._path(src_name), self._path(dst_name)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
 
     # -- public API ------------------------------------------------------
 
@@ -113,17 +143,41 @@ class CheckpointStore:
                 **(extra or {}),
             },
         }
-        self._save_tree("last", tree)
-        if improved:
-            self._save_tree("best", tree)
 
-        # per-epoch, metric-encoded name (NaN epochs are not kept)
+        # The tree is written to disk ONCE (one device->host snapshot);
+        # 'last' and 'best' are host-side directory copies of it.  NaN
+        # epochs get no metric-encoded directory, so 'last' is primary.
+        self._join()
         if monitored_is_valid:
-            name = f"epoch_{epoch:04d}_{monitored_value:.6f}"
-            self._save_tree(name, tree)
-            self._prune()
-            if name in {n for n, _, _ in self._epoch_dirs()}:
-                self._notify_artifact(name)
+            primary = f"epoch_{epoch:04d}_{monitored_value:.6f}"
+        else:
+            primary = "last"
+        self._save_tree(primary, tree)
+
+        def _finalize() -> None:
+            try:
+                self._ckptr.wait_until_finished()
+                if primary != "last":
+                    self._copy_tree(primary, "last")
+                if improved:
+                    self._copy_tree(primary, "best")
+                if monitored_is_valid:
+                    self._prune()
+                    if primary in {n for n, _, _ in self._epoch_dirs()}:
+                        self._notify_artifact(primary)
+            except BaseException as e:  # surfaced at the next store op
+                self._bg_error = e
+
+        if self.cfg.async_save:
+            import threading
+
+            self._bg = threading.Thread(target=_finalize, daemon=True)
+            self._bg.start()
+        else:
+            _finalize()
+            if self._bg_error is not None:
+                err, self._bg_error = self._bg_error, None
+                raise err
         return float(new_best) if new_best is not None else float("nan")
 
     def _notify_artifact(self, name: str) -> None:
@@ -150,6 +204,7 @@ class CheckpointStore:
             shutil.rmtree(self._path(name), ignore_errors=True)
 
     def kept_epochs(self) -> List[str]:
+        self._join()
         return sorted(n for n, _, _ in self._epoch_dirs())
 
     def restore(
@@ -158,6 +213,7 @@ class CheckpointStore:
         """Restore (state, meta) from <dir>/<name> into the target pytree
         structure (reference resume: main_coordinator_idun.py:268-283)."""
         path = self._path(name)
+        self._join()
         template = {
             "state": target,
             "meta": {
@@ -170,6 +226,7 @@ class CheckpointStore:
         return restored["state"], restored["meta"]
 
     def has(self, name: str) -> bool:
+        self._join()
         return os.path.isdir(self._path(name))
 
 

@@ -211,6 +211,7 @@ def train(
                 directory=checkpoint_dir,
                 keep_top_k=cfg.keep_last_n,
                 monitored_mode=cfg.monitored_mode,
+                async_save=getattr(cfg, "async_checkpoints", False),
             )
         )
         if cfg.resume_path:
@@ -380,6 +381,8 @@ def train(
         if max_steps is not None and global_step >= max_steps:
             break
 
+    if store is not None:
+        store.wait_until_finished()  # commit any in-flight async save
     mlog.summary("best_value", best_value)
     mlog.finish()
     return summary

@@ -154,3 +154,31 @@ def test_checkpoint_store_topk_pruning(tmp_path):
     restored, meta = store.restore({"w": np.zeros(4)}, "best")
     np.testing.assert_array_equal(restored["w"], np.arange(4.0))
     assert float(meta["monitored_value"]) == 2.0
+
+
+def test_checkpoint_store_async_save(tmp_path):
+    """async_save=True: identical layout/semantics, background finalize."""
+    store = CheckpointStore(
+        CheckpointConfig(
+            directory=str(tmp_path), keep_top_k=2, async_save=True
+        )
+    )
+    best = None
+    for epoch, loss in enumerate([5.0, 3.0, 4.0, float("nan"), 2.0]):
+        state = {"w": np.full(4, float(epoch))}
+        best = store.save_epoch(state, epoch, loss, best)
+    store.wait_until_finished()
+    assert best == 2.0
+    assert store.kept_epochs() == [
+        "epoch_0001_3.000000",
+        "epoch_0004_2.000000",
+    ]
+    # 'last' reflects the newest save (epoch 4, via copy of the epoch dir)
+    restored, meta = store.restore({"w": np.zeros(4)}, "last")
+    np.testing.assert_array_equal(restored["w"], np.full(4, 4.0))
+    assert int(meta["epoch"]) == 4
+    # 'best' is the epoch-4 state too (2.0 < 3.0)
+    restored, meta = store.restore({"w": np.zeros(4)}, "best")
+    assert float(meta["monitored_value"]) == 2.0
+    # NaN epoch went to 'last' only at the time (no epoch_0003_* dir)
+    assert not any("0003" in n for n in os.listdir(str(tmp_path)))
