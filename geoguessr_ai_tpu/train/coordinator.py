@@ -321,6 +321,10 @@ def train(
                         "train/loss": float(metrics["loss"]),
                         "train/top1": float(metrics["top1"]),
                         "train/top5": float(metrics["top5"]),
+                        # wandb.watch(model) stand-in (reference
+                        # main_coordinator_idun.py:188): global L2 norms
+                        "train/grad_norm": float(metrics["grad_norm"]),
+                        "train/param_norm": float(metrics["param_norm"]),
                         "train/steps_per_sec": timer.steps_per_sec,
                     },
                     global_step,

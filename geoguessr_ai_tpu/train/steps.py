@@ -19,6 +19,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geoguessr_ai_tpu.config import MeshConfig
@@ -104,6 +105,12 @@ def train_step(
     if new_model_state:
         state = state.replace(batch_stats=new_model_state["batch_stats"])
     metrics = _metrics(logits, batch["coords"], centroids, loss)
+    # Model-health scalars: the jit-friendly stand-in for the reference's
+    # wandb.watch(model, log="all") (main_coordinator_idun.py:188) —
+    # global grad/param L2 norms instead of per-tensor histograms (host
+    # histograms would force a full device->host parameter fetch per log).
+    metrics["grad_norm"] = optax.global_norm(grads)
+    metrics["param_norm"] = optax.global_norm(state.params)
     return state, metrics
 
 

@@ -89,6 +89,9 @@ def test_model_parallel_2x4_mesh():
     batch = _batch(cfg, mesh, mesh_cfg)
     state, metrics = jit_train(state, batch, centroids)
     assert np.isfinite(float(metrics["loss"]))
+    # wandb.watch stand-in: global model-health norms ride the metrics
+    assert float(metrics["grad_norm"]) > 0
+    assert float(metrics["param_norm"]) > 0
 
 
 def test_cosine_warm_restarts_schedule():
