@@ -118,6 +118,17 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
             return ""
     except Exception:
         return ""
+    # Key the directory by backend + hostname: CPU AOT entries (from
+    # model.init on the host device) are machine-feature-pinned, and
+    # reloading one compiled on a different machine risks SIGILL.  A
+    # per-host subdir means stale cross-machine entries are never seen
+    # (same-host reloads may still emit spurious tuning-flag warnings
+    # from the XLA:CPU AOT loader; those are safe).
+    import platform as _platform
+
+    cache_dir = os.path.join(
+        cache_dir, f"{jax.default_backend()}-{_platform.node() or 'host'}"
+    )
     # Best-effort: the cache is a pure optimization, so never let it take
     # down an entry point (read-only checkouts, bad override paths, or a
     # JAX without the flag all just disable it, loudly).
