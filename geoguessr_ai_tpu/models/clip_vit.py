@@ -109,6 +109,19 @@ class CLIPEncoderLayer(nn.Module):
         return x + h
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder with nn.Conv's tree layout ({kernel}) so the
+    GEMM patchify shares checkpoints/converters with a plain conv."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
 class CLIPVisionTower(nn.Module):
     """CLIP image encoder: conv patchify + CLS + learned pos emb + pre-LN
     transformer + final LayerNorm."""
@@ -121,16 +134,30 @@ class CLIPVisionTower(nn.Module):
         dtype = cfg.dtype
         B = pixel_values.shape[0]
 
-        x = nn.Conv(
-            cfg.hidden_size,
-            (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            use_bias=False,
-            dtype=dtype,
-            name="patch_embedding",
-        )(pixel_values.astype(dtype))
-        x = x.reshape(B, -1, cfg.hidden_size)  # (B, P, D)
+        # Patchify as an explicit space-to-depth + GEMM: a stride-p VALID
+        # pxp conv is exactly a (B, P, p*p*3) @ (p*p*3, D) matmul.
+        # Measured e2e-neutral vs nn.Conv on v5e (298 img/s either way —
+        # patch embed is ~0.2% of CLIP-L FLOPs, unlike TinyViT's hot 1x1
+        # convs where the GEMM lowering was 2x); kept for the simpler
+        # lowering.  The parameter keeps the conv kernel tree layout
+        # ({patch_embedding: {kernel: (p, p, 3, D)}}) so HF weight
+        # conversion (models/torch_convert.py:67) is unchanged.
+        p = cfg.patch_size
+        grid = cfg.image_size // p
+        kernel = _ConvKernel(
+            (p, p, 3, cfg.hidden_size), name="patch_embedding"
+        )()
+        patches = (
+            pixel_values.astype(dtype)
+            .reshape(B, grid, p, grid, p, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, grid * grid, p * p * 3)
+        )
+        x = jnp.einsum(
+            "bpk,kd->bpd",
+            patches,
+            kernel.reshape(p * p * 3, cfg.hidden_size).astype(dtype),
+        )
 
         cls = self.param(
             "class_embedding",
