@@ -16,6 +16,7 @@ consumer pattern is covered.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple
 
 import flax.linen as nn
@@ -33,6 +34,15 @@ class CLIPVisionConfig:
     mlp_dim: int = 4096
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    #: Pallas q-tiled attention (ops/window_attention) with the 577-token
+    #: sequence padded to 640 and pad keys masked via the additive bias.
+    #: Param tree matches nn.MultiHeadDotProductAttention exactly.
+    #: MEASURED VERDICT (v5e, B=256 e2e): 203 vs 298 img/s — LOSES to the
+    #: XLA attention at CLIP shapes (the simple q-tiled kernel refetches
+    #: the (640, 64) k/v blocks once per q-tile over a (16, 5, 256) grid,
+    #: and the head-major transposes add HBM passes).  Kept opt-in as the
+    #: harness for a proper flash kernel (k/v-resident, online softmax).
+    pallas_attention: bool = False
 
     @staticmethod
     def vit_l_14_336(**overrides) -> "CLIPVisionConfig":
@@ -81,6 +91,58 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class _PallasSelfAttention(nn.Module):
+    """Self-attention with nn.MultiHeadDotProductAttention's exact param
+    tree (query/key/value/out DenseGeneral) but the score/softmax/value
+    contraction running in the Pallas q-tiled kernel: the (BQ, N) f32
+    score tile lives only in VMEM instead of round-tripping a (B, H, N, N)
+    f32 tensor through HBM (the measured 37%-MFU gap of the XLA attention
+    stack; docs/performance.md)."""
+
+    num_heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        from geoguessr_ai_tpu.ops.window_attention import window_attention
+
+        B, N, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        dense = functools.partial(
+            nn.DenseGeneral,
+            axis=-1,
+            features=(H, hd),
+            dtype=self.dtype,
+        )
+        q = dense(name="query")(x)  # (B, N, H, hd)
+        k = dense(name="key")(x)
+        v = dense(name="value")(x)
+
+        pad = (-N) % 128  # kernel tiles want a 128-multiple sequence
+        npad = N + pad
+        if pad:
+            q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # additive bias masking pad keys (-1e9) so softmax ignores them
+        key_ok = (jnp.arange(npad) < N).astype(jnp.float32)
+        bias = jnp.broadcast_to(
+            ((key_ok - 1.0) * 1e9)[None, None, :], (H, npad, npad)
+        )
+        o = window_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            bias,
+            hd**-0.5,
+        )  # (B, H, npad, hd)
+        o = o.transpose(0, 2, 1, 3)[:, :N]
+        return nn.DenseGeneral(
+            features=D, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(o)
+
+
 class CLIPEncoderLayer(nn.Module):
     config: CLIPVisionConfig
 
@@ -92,12 +154,17 @@ class CLIPEncoderLayer(nn.Module):
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1"
         )(x.astype(jnp.float32)).astype(dtype)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads,
-            dtype=dtype,
-            deterministic=True,
-            name="self_attn",
-        )(h, h)
+        if cfg.pallas_attention:
+            h = _PallasSelfAttention(
+                num_heads=cfg.num_heads, dtype=dtype, name="self_attn"
+            )(h)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads,
+                dtype=dtype,
+                deterministic=True,
+                name="self_attn",
+            )(h, h)
         x = x + h
 
         h = nn.LayerNorm(

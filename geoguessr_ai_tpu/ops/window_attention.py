@@ -70,6 +70,8 @@ def _qtiled_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
 def _attention_qtiled(q, k, v, bias, scale, block_q=BLOCK_Q):
     W, H, N, hd = q.shape
     block_q = min(block_q, N)
+    while N % block_q:  # grid must tile N exactly (e.g. N=640 -> 128)
+        block_q //= 2
     return pl.pallas_call(
         functools.partial(_qtiled_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((W, H, N, hd), q.dtype),

@@ -104,3 +104,35 @@ def test_custom_vjp_backward_matches_xla_grad():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2
         )
+
+
+def test_clip_pallas_attention_opt_in_matches_default():
+    """CLIPVisionConfig.pallas_attention=True: same param tree, same
+    numbers (XLA fallback on CPU exercises the pad+mask plumbing)."""
+    import dataclasses
+
+    from geoguessr_ai_tpu.models.clip_vit import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+    )
+
+    cfg = dataclasses.replace(
+        CLIPVisionConfig(), image_size=112, num_layers=2, dtype=jnp.float32
+    )
+    m0 = CLIPVisionTower(dataclasses.replace(cfg, pallas_attention=False))
+    m1 = CLIPVisionTower(dataclasses.replace(cfg, pallas_attention=True))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 112, 112, 3)), jnp.float32
+    )
+    v = m0.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x)
+    )
+    r0 = m0.apply(v, x)
+    r1 = m1.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(r1.pooler_output),
+        np.asarray(r0.pooler_output),
+        atol=1e-4,
+        rtol=1e-4,
+    )
