@@ -54,7 +54,10 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO_PATH):
+        stale = os.path.exists(_SO_PATH) and (
+            os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+        )
+        if not os.path.exists(_SO_PATH) or stale:
             if os.environ.get("GEO_TPU_NO_NATIVE") == "1" or not _build():
                 _build_failed = True
                 return None

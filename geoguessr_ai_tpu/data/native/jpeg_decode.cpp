@@ -19,6 +19,7 @@
 #include <atomic>
 #include <csetjmp>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -81,9 +82,16 @@ int decode_one(const uint8_t* data, size_t len, uint8_t* out, int out_h,
                int out_w) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Raw malloc'd scanline buffer, declared before setjmp: the error_exit
+  // longjmp must not cross any live object with a non-trivial destructor
+  // (UB), and a std::vector declared after setjmp would also leak its
+  // allocation on every mid-scanline decode error.  volatile-qualified so
+  // the pointer value is well-defined after longjmp.
+  uint8_t* volatile buf = nullptr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
+    std::free(const_cast<uint8_t*>(buf));
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
@@ -115,15 +123,22 @@ int decode_one(const uint8_t* data, size_t len, uint8_t* out, int out_h,
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
-  std::vector<uint8_t> buf(static_cast<size_t>(h) * w * 3);
+  buf = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(h) * w * 3));
+  if (buf == nullptr) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 4;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = buf.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    uint8_t* row = const_cast<uint8_t*>(buf) +
+                   static_cast<size_t>(cinfo.output_scanline) * w * 3;
     JSAMPROW rows[1] = {row};
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  bilinear_resize(buf.data(), h, w, out, out_h, out_w);
+  bilinear_resize(const_cast<uint8_t*>(buf), h, w, out, out_h, out_w);
+  std::free(const_cast<uint8_t*>(buf));
   return 0;
 }
 

@@ -96,8 +96,10 @@ class ServingEngine:
         model = self.model
         k = self.num_candidates
 
-        def _serve(variables, pixel_values, centroids):
-            emb, logits = model.apply(variables, pixel_values=pixel_values)
+        def _serve(variables, pixel_values, centroids, view_mask=None):
+            emb, logits = model.apply(
+                variables, pixel_values=pixel_values, view_mask=view_mask
+            )
             probs, preds, lnglat, topk = decode_predictions(
                 logits, centroids, k
             )
@@ -170,15 +172,29 @@ class ServingEngine:
 
     # ------------------------------------------------------------------
 
-    def predict_batch(self, panoramas_u8: np.ndarray) -> List[InferenceResult]:
-        """panoramas_u8: (B, V, H, W, 3) uint8 at self.image_size."""
+    def predict_batch(
+        self,
+        panoramas_u8: np.ndarray,
+        view_mask: Optional[np.ndarray] = None,
+    ) -> List[InferenceResult]:
+        """panoramas_u8: (B, V, H, W, 3) uint8 at self.image_size.
+
+        view_mask: optional (B, V) 1/0 mask of real views — panoramas with
+        <4 decoded views arrive zero-padded from PanoramaBatchIterator, and
+        masked fusion here matches training-time masked fusion (train/serve
+        skew otherwise: black frames would be averaged in)."""
         mean, std = self.norm
         pixels = fused_preprocess(
             jnp.asarray(panoramas_u8), tuple(mean), tuple(std),
             self.image_size,
         )
+        mask = (
+            jnp.asarray(view_mask, jnp.float32)
+            if view_mask is not None
+            else None
+        )
         lnglat, top_vals, top_idx, emb = self._serve(
-            self.variables, pixels, self.centroids
+            self.variables, pixels, self.centroids, mask
         )
         lnglat = np.asarray(lnglat)
         top_vals = np.asarray(top_vals)

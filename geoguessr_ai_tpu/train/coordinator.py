@@ -365,7 +365,12 @@ def train(
             )
         else:
             improved = not np.isnan(monitored) and (
-                best_value is None or monitored < best_value
+                best_value is None
+                or (
+                    monitored > best_value
+                    if cfg.monitored_mode == "max"
+                    else monitored < best_value
+                )
             )
             if improved:
                 best_value = monitored

@@ -20,19 +20,55 @@ from flax.training import train_state
 from geoguessr_ai_tpu.config import OptimizerConfig
 
 
+def _last_stage_prefixes(backbone_children) -> tuple:
+    """Trainable top-level backbone modules for freeze_all_but_last_stage,
+    detected from the param tree itself.
+
+    CLIP-style towers (children ``layer0..layerN``): the reference freezes
+    ``encoder.layers[:-1]`` (super_guessr.py:135-145), keeping the LAST
+    encoder layer + post layernorm trainable.  TinyViT: the reference
+    freezes ``stages[:-1]`` where timm's last stage INCLUDES its leading
+    downsample (models/tinyvit.py:106-111), so ``downsample2`` (the
+    stage-2->3 PatchMerging) trains alongside stage3 and norm_head."""
+    import re
+
+    layer_ids = [
+        int(m.group(1))
+        for n in backbone_children
+        if (m := re.fullmatch(r"layer(\d+)", n))
+    ]
+    if layer_ids:
+        return (f"layer{max(layer_ids)}", "post_layernorm")
+    return ("stage3", "downsample2", "norm_head")
+
+
 def backbone_freeze_mask(
     params,
     freeze_base: bool = False,
     freeze_all_but_last_stage: bool = False,
-    last_stage_prefix: str = "stage3",
 ):
     """Trainable-leaf mask implementing the reference's freeze policies
     (super_guessr.py:127-153): freeze_base freezes the whole backbone;
-    freeze_all_but_last_stage keeps the final stage + head norm trainable
-    (TinyViTAdapter.freeze_all_but_last_stage, models/tinyvit.py:106-111).
-    Everything outside the backbone subtree always trains."""
+    freeze_all_but_last_stage keeps the final stage/encoder layer + head
+    norm trainable (TinyViTAdapter.freeze_all_but_last_stage,
+    models/tinyvit.py:106-111; CLIP freeze, super_guessr.py:135-145).
+    Everything outside the backbone subtree always trains.
+
+    Raises if freeze_all_but_last_stage matches nothing inside the
+    backbone subtree — a silent full-freeze would train only the head."""
+    backbone_children = set()
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        names = [getattr(p, "key", str(p)) for p in path]
+        if "backbone" in names:
+            i = names.index("backbone")
+            if len(names) > i + 1:
+                backbone_children.add(names[i + 1])
+    trainable_prefixes = _last_stage_prefixes(backbone_children)
+
+    any_trainable_in_backbone = False
 
     def mark(path, leaf):
+        nonlocal any_trainable_in_backbone
         names = [getattr(p, "key", str(p)) for p in path]
         if "backbone" not in names:
             return True
@@ -41,10 +77,24 @@ def backbone_freeze_mask(
         if freeze_all_but_last_stage:
             i = names.index("backbone")
             child = names[i + 1] if len(names) > i + 1 else ""
-            return child.startswith(last_stage_prefix) or child == "norm_head"
+            keep = any(child.startswith(p) for p in trainable_prefixes)
+            any_trainable_in_backbone |= keep
+            return keep
         return True
 
-    return jax.tree_util.tree_map_with_path(mark, params)
+    mask = jax.tree_util.tree_map_with_path(mark, params)
+    if (
+        freeze_all_but_last_stage
+        and not freeze_base
+        and backbone_children
+        and not any_trainable_in_backbone
+    ):
+        raise ValueError(
+            "freeze_all_but_last_stage matched no backbone params "
+            f"(children={sorted(backbone_children)}, wanted prefixes "
+            f"{trainable_prefixes}) — the whole backbone would be frozen"
+        )
+    return mask
 
 
 class TrainState(train_state.TrainState):

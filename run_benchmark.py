@@ -78,7 +78,9 @@ def run_benchmark(
     )
     records = []
     for batch in it:
-        results = engine.predict_batch(batch["pixel_values"])
+        results = engine.predict_batch(
+            batch["pixel_values"], view_mask=batch.get("view_mask")
+        )
         for b in range(batch["num_real"]):
             r = results[b]
             gt_lon, gt_lat = batch["coords"][b]
