@@ -294,7 +294,7 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
 
@@ -460,7 +460,7 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
@@ -619,5 +619,5 @@ class TinyViT(nn.Module):
         # with num_classes=0 returns normed pooled features).
         x = x.reshape(x.shape[0], -1, cfg.embed_dims[-1])
         x = jnp.mean(x.astype(jnp.float32), axis=1)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm_head")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_head")(x)
         return x
