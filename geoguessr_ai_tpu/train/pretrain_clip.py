@@ -8,8 +8,9 @@ schedule with warmup ratio 0.2, grad-accum 8, eval/save every 50 steps.
 TPU design: the freeze is an ``optax.masked`` zero-update (no Python-side
 requires_grad), the contrastive step jits over the data-parallel mesh, and
 grad accumulation uses ``optax.MultiSteps``.  Tokenization is injected
-(``tokenize_fn``) — CLIP's BPE vocab is an external asset; any callable
-str-list -> (B, T) int32 works (tests use a hash tokenizer).
+(``tokenize_fn``); the default is the real CLIP BPE tokenizer
+(train/clip_bpe.py, HF-parity-tested) over the vendored assets in
+data/clip_bpe/ — ``hash_tokenizer`` remains as a test-only fallback.
 """
 
 from __future__ import annotations

@@ -11,7 +11,8 @@ from geoguessr_ai_tpu.data.sqlite_dataset import load_sqlite_dataset
 from geoguessr_ai_tpu.geocells.manager import GeocellManager
 from geoguessr_ai_tpu.train.captions import enrich_dataframe
 from geoguessr_ai_tpu.train.coordinator import discover_sqlite
-from geoguessr_ai_tpu.train.pretrain_clip import hash_tokenizer, pretrain
+from geoguessr_ai_tpu.train.clip_bpe import default_tokenize_fn
+from geoguessr_ai_tpu.train.pretrain_clip import pretrain
 from geoguessr_ai_tpu import config as C
 
 sqlite_path = sys.argv[1] if len(sys.argv) > 1 else discover_sqlite()
@@ -21,6 +22,8 @@ try:
 except Exception:
     mgr = None
 df = enrich_dataframe(df, geocell_manager=mgr)
-# Swap hash_tokenizer for a real CLIP BPE tokenizer when vocab assets exist.
-pretrain(df, hash_tokenizer())
+# CLIP BPE from the vendored assets (drop a real OpenAI vocab into
+# data/clip_bpe/ or set CLIP_BPE_DIR for real-checkpoint interop);
+# hash fallback only if the assets are missing.
+pretrain(df, default_tokenize_fn())
 PY
