@@ -34,15 +34,24 @@ class CLIPVisionConfig:
     mlp_dim: int = 4096
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
-    #: Pallas q-tiled attention (ops/window_attention) with the 577-token
-    #: sequence padded to 640 and pad keys masked via the additive bias.
-    #: Param tree matches nn.MultiHeadDotProductAttention exactly.
-    #: MEASURED VERDICT (v5e, B=256 e2e): 203 vs 298 img/s — LOSES to the
-    #: XLA attention at CLIP shapes (the simple q-tiled kernel refetches
-    #: the (640, 64) k/v blocks once per q-tile over a (16, 5, 256) grid,
-    #: and the head-major transposes add HBM passes).  Kept opt-in as the
-    #: harness for a proper flash kernel (k/v-resident, online softmax).
+    #: Fused Pallas attention (ops/clip_attention): one fused qkv GEMM ->
+    #: token-major kernel (k/v resident per (image, head-chunk) cell, f32
+    #: scores only in VMEM, native N — no padding/transposes at the
+    #: boundary).  Param tree matches nn.MultiHeadDotProductAttention
+    #: exactly.  Round-1's simple q-tiled port (pad-to-640, head-major
+    #: transposes, per-q-tile k/v refetch) measured 203 vs 298 img/s and
+    #: was replaced by this design.
     pallas_attention: bool = False
+    #: heads per kernel grid cell ((HB, N, N) f32 scores in VMEM).
+    pallas_head_block: int = 2
+    #: int8 GEMM path (ops/quant.py) for the MLP (and, on the Pallas
+    #: attention path, the qkv/out projections) — inference-only.
+    #: MEASURED (v5e, B=256): LOSES for now — 285 img/s (XLA attn) and
+    #: 331 (flash attn) vs 368 bf16 flash: the dynamic per-tensor
+    #: activation abs-max adds an HBM pass per GEMM that outweighs the
+    #: int8 MXU rate.  Opt-in until quantization is fused into producer
+    #: epilogues (docs/performance.md).
+    quantize_gemms: bool = False
 
     @staticmethod
     def vit_l_14_336(**overrides) -> "CLIPVisionConfig":
@@ -91,56 +100,109 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+class _ProjParams(nn.Module):
+    """Param holder with nn.DenseGeneral's tree layout (kernel + bias) so
+    the fused-qkv path shares checkpoints with the stock MHA module.
+
+    Init matches DenseGeneral exactly: the initializer runs on the
+    COLLAPSED 2D (fan_in, fan_out) shape and is reshaped — so a fresh
+    init is bit-identical to the stock MHA path (n_in_axes leading dims
+    are fan-in, the rest fan-out)."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+    n_in_axes: int = 1
+
+    @nn.compact
+    def __call__(self):
+        def kernel_init(rng, shape, dtype):
+            import numpy as _np
+
+            fan_in = int(_np.prod(shape[: self.n_in_axes]))
+            fan_out = int(_np.prod(shape[self.n_in_axes :]))
+            flat = nn.initializers.lecun_normal()(
+                rng, (fan_in, fan_out), dtype
+            )
+            return flat.reshape(shape)
+
+        kernel = self.param(
+            "kernel", kernel_init, self.kernel_shape, jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, self.bias_shape, jnp.float32
+        )
+        return kernel, bias
+
+
 class _PallasSelfAttention(nn.Module):
     """Self-attention with nn.MultiHeadDotProductAttention's exact param
     tree (query/key/value/out DenseGeneral) but the score/softmax/value
-    contraction running in the Pallas q-tiled kernel: the (BQ, N) f32
-    score tile lives only in VMEM instead of round-tripping a (B, H, N, N)
-    f32 tensor through HBM (the measured 37%-MFU gap of the XLA attention
-    stack; docs/performance.md)."""
+    contraction running in the fused Pallas kernel (ops/clip_attention.py):
+    ONE fused qkv GEMM emits the token-major (B, N, 3D) tensor the kernel
+    consumes directly — no head-axis transposes or sequence padding at the
+    boundary (the measured failure mode of the round-1 q-tiled port,
+    docs/performance.md) — and the (HB, N, N) f32 score tile lives only in
+    VMEM instead of round-tripping a (B, H, N, N) f32 tensor through HBM
+    (the measured 37%-MFU gap of the XLA attention stack)."""
 
     num_heads: int
     dtype: Any
+    head_block: int = 2
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from geoguessr_ai_tpu.ops.window_attention import window_attention
+        from geoguessr_ai_tpu.ops.clip_attention import clip_attention
 
         B, N, D = x.shape
         H = self.num_heads
         hd = D // H
-        dense = functools.partial(
-            nn.DenseGeneral,
-            axis=-1,
-            features=(H, hd),
-            dtype=self.dtype,
-        )
-        q = dense(name="query")(x)  # (B, N, H, hd)
-        k = dense(name="key")(x)
-        v = dense(name="value")(x)
+        qk, qb = _ProjParams((D, H, hd), (H, hd), name="query")()
+        kk, kb = _ProjParams((D, H, hd), (H, hd), name="key")()
+        vk, vb = _ProjParams((D, H, hd), (H, hd), name="value")()
+        ok, ob = _ProjParams((H, hd, D), (D,), n_in_axes=2, name="out")()
 
-        pad = (-N) % 128  # kernel tiles want a 128-multiple sequence
-        npad = N + pad
-        if pad:
-            q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        # additive bias masking pad keys (-1e9) so softmax ignores them
-        key_ok = (jnp.arange(npad) < N).astype(jnp.float32)
-        bias = jnp.broadcast_to(
-            ((key_ok - 1.0) * 1e9)[None, None, :], (H, npad, npad)
+        # (D, H, hd) -> (D, D) flattens (h, d) -> h*hd + d: exactly the
+        # kernel's channel convention.
+        w_qkv = jnp.concatenate(
+            [qk.reshape(D, D), kk.reshape(D, D), vk.reshape(D, D)], axis=1
+        ).astype(self.dtype)
+        b_qkv = jnp.concatenate(
+            [qb.reshape(D), kb.reshape(D), vb.reshape(D)]
+        ).astype(self.dtype)
+        if self.quantize:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            qkv = int8_einsum_nc_cd(
+                x,
+                w_qkv.astype(jnp.float32),
+                bias=b_qkv,
+                out_dtype=self.dtype,
+            )
+        else:
+            qkv = (
+                jnp.einsum(
+                    "bnc,ck->bnk", x, w_qkv,
+                    preferred_element_type=self.dtype,
+                )
+                + b_qkv
+            )
+        o = clip_attention(qkv, hd**-0.5, H, self.head_block)  # (B, N, D)
+        if self.quantize:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            return int8_einsum_nc_cd(
+                o, ok.reshape(D, D), bias=ob, out_dtype=self.dtype
+            )
+        return (
+            jnp.einsum(
+                "bnd,dk->bnk",
+                o,
+                ok.reshape(D, D).astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
+            + ob.astype(self.dtype)
         )
-        o = window_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            bias,
-            hd**-0.5,
-        )  # (B, H, npad, hd)
-        o = o.transpose(0, 2, 1, 3)[:, :N]
-        return nn.DenseGeneral(
-            features=D, axis=(-2, -1), dtype=self.dtype, name="out"
-        )(o)
 
 
 class CLIPEncoderLayer(nn.Module):
@@ -155,8 +217,15 @@ class CLIPEncoderLayer(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1"
         )(x.astype(jnp.float32)).astype(dtype)
         if cfg.pallas_attention:
+            hb = cfg.pallas_head_block
+            while cfg.num_heads % hb:
+                hb -= 1
             h = _PallasSelfAttention(
-                num_heads=cfg.num_heads, dtype=dtype, name="self_attn"
+                num_heads=cfg.num_heads,
+                dtype=dtype,
+                head_block=hb,
+                quantize=cfg.quantize_gemms,
+                name="self_attn",
             )(h)
         else:
             h = nn.MultiHeadDotProductAttention(
@@ -170,9 +239,24 @@ class CLIPEncoderLayer(nn.Module):
         h = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2"
         )(x.astype(jnp.float32)).astype(dtype)
-        h = nn.Dense(cfg.mlp_dim, dtype=dtype, name="mlp_fc1")(h)
-        h = quick_gelu(h)
-        h = nn.Dense(cfg.hidden_size, dtype=dtype, name="mlp_fc2")(h)
+        if cfg.quantize_gemms:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            fc1_k, fc1_b = _ProjParams(
+                (cfg.hidden_size, cfg.mlp_dim), (cfg.mlp_dim,),
+                name="mlp_fc1",
+            )()
+            fc2_k, fc2_b = _ProjParams(
+                (cfg.mlp_dim, cfg.hidden_size), (cfg.hidden_size,),
+                name="mlp_fc2",
+            )()
+            h = int8_einsum_nc_cd(h, fc1_k, bias=fc1_b, out_dtype=dtype)
+            h = quick_gelu(h)
+            h = int8_einsum_nc_cd(h, fc2_k, bias=fc2_b, out_dtype=dtype)
+        else:
+            h = nn.Dense(cfg.mlp_dim, dtype=dtype, name="mlp_fc1")(h)
+            h = quick_gelu(h)
+            h = nn.Dense(cfg.hidden_size, dtype=dtype, name="mlp_fc2")(h)
         return x + h
 
 

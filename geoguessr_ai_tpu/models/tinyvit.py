@@ -57,6 +57,15 @@ class TinyViTConfig:
     #: checkpointing): trades ~30% more FLOPs for O(depth) less activation
     #: memory, enabling larger train batches.
     remat: bool = False
+    #: int8 GEMM path (ops/quant.py) for the pointwise convs, qkv/proj
+    #: and MLP matmuls — inference-only; accuracy gated in
+    #: tests/test_quant.py (cosine > 0.99 vs bf16 on fixtures).
+    #: MEASURED (v5e): NOT adopted — at B=320 the int8 variant OOMs at
+    #: compile (the quant epilogues around the qkv projection break the
+    #: score-dot fusion, materializing the f32 (320,12,1024,1024) score
+    #: tensor XLA otherwise windows away); needs producer-fused
+    #: quantization.  Opt-in.
+    quantize_gemms: bool = False
     #: Per-stage fused Pallas window attention (ops/window_attention.py).
     #: Per-fusion profiling at B=256: the kernel path wins stage 1
     #: in-context (72.0 vs 86.2 ms including its layout einsums) but loses
@@ -106,6 +115,7 @@ class _PointwiseConv(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -116,6 +126,12 @@ class _PointwiseConv(nn.Module):
             (1, 1, cin, self.features),
             jnp.float32,
         )
+        if self.quantize:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            return int8_einsum_nc_cd(
+                x, kernel[0, 0], out_dtype=self.dtype
+            )
         return jnp.einsum(
             "...c,cd->...d",
             x,
@@ -132,11 +148,17 @@ class ConvBN(nn.Module):
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.bfloat16
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.kernel == 1 and self.stride == 1 and self.groups == 1:
-            x = _PointwiseConv(self.features, dtype=self.dtype, name="conv")(x)
+            x = _PointwiseConv(
+                self.features,
+                dtype=self.dtype,
+                quantize=self.quantize,
+                name="conv",
+            )(x)
         else:
             x = nn.Conv(
                 self.features,
@@ -183,18 +205,27 @@ class MBConv(nn.Module):
     drop_path: float
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         hidden = int(x.shape[-1] * self.expand_ratio)
         shortcut = x
-        x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBN(
+            hidden, 1, dtype=self.dtype, quantize=self.quantize, name="conv1"
+        )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
             hidden, 3, groups=hidden, dtype=self.dtype, name="conv2"
         )(x, train)
         x = _gelu(x, self.exact_gelu)
-        x = ConvBN(self.features, 1, dtype=self.dtype, name="conv3")(x, train)
+        x = ConvBN(
+            self.features,
+            1,
+            dtype=self.dtype,
+            quantize=self.quantize,
+            name="conv3",
+        )(x, train)
         x = DropPath(self.drop_path)(x, deterministic=not train)
         x = shortcut + x
         return _gelu(x, self.exact_gelu)
@@ -223,10 +254,14 @@ class PatchMerging(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBN(self.features, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBN(
+            self.features, 1, dtype=self.dtype, quantize=self.quantize,
+            name="conv1",
+        )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
             self.features,
@@ -237,7 +272,10 @@ class PatchMerging(nn.Module):
             name="conv2",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
-        x = ConvBN(self.features, 1, dtype=self.dtype, name="conv3")(x, train)
+        x = ConvBN(
+            self.features, 1, dtype=self.dtype, quantize=self.quantize,
+            name="conv3",
+        )(x, train)
         return x
 
 
@@ -287,6 +325,7 @@ class WindowAttention(nn.Module):
     window: int
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -410,15 +449,22 @@ class WindowAttention(nn.Module):
                 + proj_bias.astype(self.dtype)
             )
 
-        qkv = (
-            jnp.einsum(
-                "bnc,ck->bnk",
-                x,
-                qkv_kernel.astype(self.dtype),
-                preferred_element_type=self.dtype,
+        if self.quantize:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            qkv = int8_einsum_nc_cd(
+                x, qkv_kernel, bias=qkv_bias, out_dtype=self.dtype
             )
-            + qkv_bias.astype(self.dtype)
-        )
+        else:
+            qkv = (
+                jnp.einsum(
+                    "bnc,ck->bnk",
+                    x,
+                    qkv_kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                )
+                + qkv_bias.astype(self.dtype)
+            )
         qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
         # Plain f32-scores XLA attention.  A bf16 score-storage variant
@@ -439,6 +485,12 @@ class WindowAttention(nn.Module):
         # straightforward form stays.
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, N, self.dim)
+        if self.quantize:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            return int8_einsum_nc_cd(
+                out, proj_kernel, bias=proj_bias, out_dtype=self.dtype
+            )
         return (
             jnp.einsum(
                 "bnd,dc->bnc",
@@ -457,12 +509,23 @@ class Mlp(nn.Module):
     out: int
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
+        if self.quantize:
+            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+            fc1_k, fc1_b = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
+            fc2_k, fc2_b = _DenseParams(self.out, name="fc2")(self.hidden)
+            x = int8_einsum_nc_cd(x, fc1_k, bias=fc1_b, out_dtype=self.dtype)
+            x = _gelu(x, self.exact_gelu)
+            return int8_einsum_nc_cd(
+                x, fc2_k, bias=fc2_b, out_dtype=self.dtype
+            )
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = _gelu(x, self.exact_gelu)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
@@ -498,6 +561,7 @@ class TinyViTBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
     use_pallas_attention: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -513,6 +577,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
+                quantize=self.quantize,
                 name="attn",
             )(tokens)
             attn_out = tokens.reshape(B, H, W, C)
@@ -527,6 +592,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
+                quantize=self.quantize,
                 name="attn",
             )(windows)
             attn_out = window_unpartition(windows, w, (H + pad_h, W + pad_w))
@@ -542,6 +608,7 @@ class TinyViTBlock(nn.Module):
             self.dim,
             dtype=self.dtype,
             exact_gelu=self.exact_gelu,
+            quantize=self.quantize,
             name="mlp",
         )(x.reshape(B, H * W, C)).reshape(B, H, W, C)
         return x + DropPath(self.drop_path)(mlp_out, deterministic=not train)
@@ -590,6 +657,7 @@ class TinyViT(nn.Module):
                         dpr[block_idx],
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
+                        quantize=cfg.quantize_gemms,
                         name=f"stage0_block{d}",
                     )(x, train)
                     block_idx += 1
@@ -604,6 +672,7 @@ class TinyViT(nn.Module):
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
                         use_pallas_attention=stage in pallas_stages,
+                        quantize=cfg.quantize_gemms,
                         name=f"stage{stage}_block{d}",
                     )(x, train)
                     block_idx += 1
@@ -612,6 +681,7 @@ class TinyViT(nn.Module):
                     cfg.embed_dims[stage + 1],
                     dtype=dtype,
                     exact_gelu=cfg.exact_gelu,
+                    quantize=cfg.quantize_gemms,
                     name=f"downsample{stage}",
                 )(x, train)
 

@@ -1,0 +1,179 @@
+"""Fused self-attention for the CLIP tower, as a Pallas TPU kernel.
+
+Round-1 measurements (docs/performance.md) located the CLIP-L/14-336 gap:
+the MLP stack runs at ~91% MFU but the attention stack at ~37%, dominated
+by the (B, H, N, N) f32 score/prob tensors round-tripping HBM and by
+layout transposes around the head axis.  A first q-tiled port (pad-to-640
++ head-major transposes + per-q-tile k/v refetch over a (16, 5, 256)
+grid) measured 203 vs 298 img/s e2e — the boundary cost more than the
+kernel saved.
+
+This kernel fixes both failure modes:
+
+* **Token-major fused-qkv input** (B, N, 3D) — exactly what one fused
+  projection GEMM emits; no transposes or padding at the boundary.
+  Channel layout is the flax DenseGeneral convention: q = [0, D),
+  k = [D, 2D), v = [2D, 3D), head h at columns [h*hd, (h+1)*hd).
+* **One grid cell per (image, head-chunk)** — k/v for the chunk are
+  fetched once and stay in VMEM for the whole N x N attention; the f32
+  score tile never exists in HBM.  Heads are processed HEAD_BLOCK at a
+  time through batched dot_general (one batch dim, per Mosaic's matmul
+  constraint), sized so the f32 score block stays under the VMEM budget:
+  HEAD_BLOCK=2 at N=577 is 2*577^2*4 = 2.7 MB.
+* **Native N** — no sequence padding: Mosaic pads partial tiles with
+  zeros internally, which is exact here (zero-padded contraction depth
+  adds nothing; lane-masked reductions ignore pad lanes).
+
+Reference behavior: HF CLIPVisionModel self-attention
+(/root/reference/pretrain/clip_embedder.py via transformers); numerics
+validated against the XLA path in tests/test_clip_attention.py.
+
+Training uses a custom VJP whose backward recomputes attention with
+plain XLA ops (forward stays on the fast path; backward correctness
+over speed — pretraining freezes the vision tower anyway, reference
+pretrain_idun.py:220-239).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: heads per grid cell; f32 scores are (HEAD_BLOCK, N, N).
+HEAD_BLOCK = 2
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
+    # Blocks arrive channel-sliced per head-chunk by the BlockSpec index
+    # maps (static DMA slices — no dynamic lane indexing in-kernel).
+    def heads(ref):
+        x = ref[0]  # (N, HB*hd)
+        hb = x.shape[-1] // hd
+        return jnp.stack(
+            [x[:, h * hd : (h + 1) * hd] for h in range(hb)], axis=0
+        )  # (HB, N, hd)
+
+    q = heads(q_ref)
+    k = heads(k_ref)
+    v = heads(v_ref)
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (HB, N, N) f32 — lives only in VMEM
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (HB, N, hd)
+    for h in range(o.shape[0]):
+        o_ref[0, :, h * hd : (h + 1) * hd] = o[h].astype(o_ref.dtype)
+
+
+def _flash_pallas(qkv, scale, num_heads, head_block, interpret=False):
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    cw = head_block * hd  # channel width per chunk
+    n_chunks = num_heads // head_block
+    # q/k/v are channel-block views of the SAME fused qkv array: chunk hc
+    # of q sits at channel block hc, of k at n_chunks + hc, etc.
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, N, cw),
+                lambda b, hc: (b, 0, hc),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N, cw),
+                lambda b, hc, _n=n_chunks: (b, 0, _n + hc),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N, cw),
+                lambda b, hc, _n=n_chunks: (b, 0, 2 * _n + hc),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, cw),
+            lambda b, hc: (b, 0, hc),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+def _flash_xla(qkv, scale, num_heads):
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, N, num_heads, hd)
+    k = k.reshape(B, N, num_heads, hd)
+    v = v.reshape(B, N, num_heads, hd)
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    p = jax.nn.softmax(s * scale, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    return o.reshape(B, N, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def clip_attention(
+    qkv, scale: float, num_heads: int, head_block: int = HEAD_BLOCK
+):
+    """softmax(q k^T * scale) v over a fused token-major qkv tensor.
+
+    Args:
+      qkv: (B, N, 3D) — channel layout [q | k | v], head h of each at
+        columns [h*hd, (h+1)*hd).
+      scale: score scale (1/sqrt(hd)).
+      num_heads: H; D = qkv.shape[-1] // 3 must divide by it.
+      head_block: heads per grid cell (must divide num_heads).
+
+    Returns: (B, N, D) attention output in qkv.dtype.
+    """
+    return jax.lax.platform_dependent(
+        qkv,
+        cpu=functools.partial(_flash_xla, scale=scale, num_heads=num_heads),
+        default=functools.partial(
+            _flash_pallas,
+            scale=scale,
+            num_heads=num_heads,
+            head_block=head_block,
+        ),
+    )
+
+
+def _fwd(qkv, scale, num_heads, head_block):
+    return clip_attention(qkv, scale, num_heads, head_block), qkv
+
+
+def _bwd(scale, num_heads, head_block, qkv, g):
+    _, vjp = jax.vjp(
+        lambda t: _flash_xla(t, scale, num_heads), qkv
+    )
+    return vjp(g)
+
+
+clip_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,99 @@
+"""int8 GEMM path accuracy gates (round-2 VERDICT #3).
+
+The acceptance bar: cosine(int8 embeddings, bf16/f32 embeddings) > 0.99
+on the fixture panoramas, with the param tree unchanged (the int8 path
+quantizes the same f32 params in-graph — no checkpoint format change)."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geoguessr_ai_tpu.ops.quant import int8_matmul, quantize_symmetric
+
+FIXTURES = sorted(
+    glob.glob(
+        os.path.join(os.path.dirname(__file__), "fixtures", "heading=*.jpg")
+    )
+)
+
+
+def test_quantize_symmetric_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.5, (64, 32)), jnp.float32)
+    q, s = quantize_symmetric(w, axis=1)
+    assert q.dtype == jnp.int8
+    assert s.shape == (1, 32)
+    deq = q.astype(jnp.float32) * s
+    # per-channel max error bounded by half a quantization step
+    step = np.asarray(s).reshape(-1)
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= step[None, :] * 0.5 + 1e-7).all()
+
+
+def test_int8_matmul_close_to_float():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (128, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, (256, 64)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    want = np.asarray(x @ w + b)
+    got = np.asarray(int8_matmul(x, w, bias=b, out_dtype=jnp.float32))
+    # relative error at int8 resolution
+    rel = np.abs(got - want) / (np.abs(want).mean() + 1e-6)
+    assert rel.max() < 0.08, rel.max()
+    c = (got * want).sum() / (
+        np.linalg.norm(got) * np.linalg.norm(want)
+    )
+    assert c > 0.999
+
+
+def _fixture_batch(image_size):
+    from geoguessr_ai_tpu.data.pipeline import decode_jpeg
+
+    views = np.stack(
+        [decode_jpeg(open(p, "rb").read(), image_size) for p in FIXTURES]
+    )
+    return jnp.asarray(views, jnp.float32) / 255.0
+
+
+def test_tinyvit_int8_cosine_gate_on_fixtures():
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+
+    cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+    cfgq = TinyViTConfig.test_tiny(dtype=jnp.float32, quantize_gemms=True)
+    model, modelq = TinyViT(cfg), TinyViT(cfgq)
+    x = _fixture_batch(cfg.image_size)
+    v = model.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(model.apply(v, x))
+    b = np.asarray(modelq.apply(v, x))
+    c = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert c.min() > 0.99, c
+
+
+def test_clip_int8_cosine_gate_on_fixtures():
+    import dataclasses
+
+    from geoguessr_ai_tpu.models.clip_vit import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+    )
+
+    cfg = dataclasses.replace(
+        CLIPVisionConfig.test_tiny(), image_size=112, dtype=jnp.float32
+    )
+    model = CLIPVisionTower(cfg)
+    modelq = CLIPVisionTower(
+        dataclasses.replace(cfg, quantize_gemms=True, pallas_attention=True)
+    )
+    x = _fixture_batch(cfg.image_size)
+    v = model.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(model.apply(v, x).pooler_output)
+    b = np.asarray(modelq.apply(v, x).pooler_output)
+    c = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert c.min() > 0.99, c
