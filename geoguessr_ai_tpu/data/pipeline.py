@@ -142,11 +142,91 @@ class PanoramaBatchIterator:
                 }
 
 
+class EmbeddingBatchIterator:
+    """Yields host batches from a panorama DataFrame whose ``images``
+    entries are float32 embedding blobs (an embedding SQLite grouped by
+    build_panorama_table) — the input side of embedding-only head
+    training (reference finetune_on_embeddings, train_modes.py:132-160).
+
+    Each batch dict:
+      embedding:  (B, V, D) float32 — zero rows for missing views
+      view_mask:  (B, V) float32
+      coords:     (B, 2) float32 (lng, lat)
+    """
+
+    def __init__(
+        self,
+        pano_df,
+        batch_size: int,
+        embed_dim: int,
+        num_views: int = NUM_PANORAMA_VIEWS,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.df = pano_df.reset_index(drop=True)
+        self.batch_size = batch_size
+        self.embed_dim = embed_dim
+        self.num_views = num_views
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.df)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _row(self, row):
+        emb = np.zeros((self.num_views, self.embed_dim), np.float32)
+        mask = np.zeros((self.num_views,), np.float32)
+        for v, blob in enumerate(row.images[: self.num_views]):
+            if blob is None:
+                continue
+            vec = (
+                np.asarray(blob, np.float32)
+                if not isinstance(blob, (bytes, memoryview))
+                else np.frombuffer(blob, np.float32)
+            )
+            emb[v, : vec.shape[-1]] = vec[: self.embed_dim]
+            mask[v] = 1.0
+        return emb, mask
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.df))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            num_real = len(idx)
+            if num_real < self.batch_size:
+                if self.drop_remainder:
+                    break
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1:], self.batch_size - num_real)]
+                )
+            rows = [self.df.iloc[i] for i in idx]
+            packed = [self._row(r) for r in rows]
+            yield {
+                "embedding": np.stack([p[0] for p in packed]),
+                "view_mask": np.stack([p[1] for p in packed]),
+                "coords": np.array(
+                    [[r.lon, r.lat] for r in rows], dtype=np.float32
+                ),
+                "location_id": [r.location_id for r in rows],
+                "num_real": num_real,
+            }
+
+
 def prefetch_to_device(
     iterator: Iterator[Dict],
     device=None,
     depth: int = 2,
-    keys=("pixel_values", "view_mask", "coords"),
+    keys=("pixel_values", "view_mask", "coords", "embedding"),
 ):
     """Double-buffered host->HBM prefetch.
 

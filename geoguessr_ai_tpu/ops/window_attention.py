@@ -260,76 +260,109 @@ window_attention.defvjp(_fwd, _bwd)
 
 
 def _qkv_fused_kernel(
-    q_ref, kv_ref, b_ref, o_ref, *, scale: float, num_heads: int
+    q_ref, kv_ref, b_ref, o_ref, *, scale: float, hd: int
 ):
-    q_all = q_ref[0]  # (BQ, 3D)
-    kv_all = kv_ref[0]  # (N, 3D)
-    # Bias travels as bf16 (an f32 (H, BQ, N) block alone blows the 16MB
-    # scoped-VMEM limit at stage-2 shapes: 12x256x1024xf32 = 12.6MB);
-    # upcast per-head at use.
-    b = b_ref[...].astype(jnp.float32)  # (H, BQ, N)
-    D3 = q_all.shape[-1]
-    hd = D3 // (3 * num_heads)
-    outs = []
-    for h in range(num_heads):
-        base = h * 3 * hd
-        q = q_all[:, base : base + hd]
-        k = kv_all[:, base + hd : base + 2 * hd]
-        v = kv_all[:, base + 2 * hd : base + 3 * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = s * scale + b[h]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(
-            jnp.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
-        )
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    """v2 cell: HB heads of one window's q-tile.
+
+    Blocks arrive channel-sliced per head-chunk by the BlockSpec index
+    maps (TinyViT qkv channel layout: head h at [h*3hd, (h+1)*3hd) with
+    q/k/v slots of hd each).  Scores run as ONE batched dot over the
+    chunk's heads — round 1's per-head Python-loop dots measured 664 vs
+    697 img/s e2e; the batch dim amortises the narrow hd=32 contraction's
+    fixed costs."""
+    q_all = q_ref[0]  # (BQ, HB*3hd)
+    kv_all = kv_ref[0]  # (N, HB*3hd)
+    hb = q_all.shape[-1] // (3 * hd)
+    # Bias travels bf16 ((H, BQ, N) f32 alone blows the 16MB scoped-VMEM
+    # stack at stage-2 shapes); upcast at use.
+    b = b_ref[...].astype(jnp.float32)  # (HB, BQ, N)
+
+    def heads(x, slot):
+        return jnp.stack(
+            [
+                x[:, h * 3 * hd + slot * hd : h * 3 * hd + (slot + 1) * hd]
+                for h in range(hb)
+            ],
+            axis=0,
+        )  # (HB, rows, hd)
+
+    q = heads(q_all, 0)
+    k = heads(kv_all, 1)
+    v = heads(kv_all, 2)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (HB, BQ, N)
+    s = s * scale + b
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (HB, BQ, hd)
+    for h in range(hb):
+        o_ref[0, :, h * hd : (h + 1) * hd] = o[h].astype(o_ref.dtype)
 
 
-def _attention_qkv_fused_pallas(qkv, bias, scale, num_heads, block_q=128):
-    # block_q=128 (not BLOCK_Q=256): with 12 heads at N=1024 the bias block
-    # plus double-buffered qkv views must stay under the 16MB scoped-VMEM
-    # stack; 256 OOMs (measured: 30MB requested).
+def _attention_qkv_fused_pallas(
+    qkv, bias, scale, num_heads, block_q=256, head_block=4
+):
+    """Grid (head_chunk, q_tile, window) — window fastest, so the bias
+    chunk block (index constant in w) stays VMEM-resident across all
+    windows; k/v are re-fetched per q-tile only.
+
+    head_block must satisfy Mosaic's lane constraint: the qkv channel
+    block (3*hd*head_block wide) must be 128-divisible (hd=32 -> hb in
+    {4, 8, 12}) or span the full channel dim; largest valid hb <= the
+    request is chosen."""
     W, N, D3 = qkv.shape
     D = D3 // 3
+    hd = D // num_heads
+    hb = min(head_block, num_heads)
+    while hb > 1 and (num_heads % hb or (3 * hd * hb) % 128):
+        hb -= 1
+    if num_heads % hb or (3 * hd * hb) % 128:
+        hb = num_heads  # full channel width == array dim (always legal)
+    head_block = hb
     block_q = min(block_q, N)
-    bias = bias.astype(qkv.dtype)
+    while N % block_q:
+        block_q //= 2
+    cw = 3 * hd * head_block  # qkv channels per chunk
+    n_chunks = num_heads // head_block
+    bias = bias.astype(qkv.dtype)  # (H, N, N) bf16
     return pl.pallas_call(
-        functools.partial(
-            _qkv_fused_kernel, scale=scale, num_heads=num_heads
-        ),
+        functools.partial(_qkv_fused_kernel, scale=scale, hd=hd),
         out_shape=jax.ShapeDtypeStruct((W, N, D), qkv.dtype),
-        grid=(N // block_q, W),
+        grid=(n_chunks, N // block_q, W),
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, D3),
-                lambda qt, w: (w, qt, 0),
+                (1, block_q, cw),
+                lambda hc, qt, w: (w, qt, hc),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N, D3),
-                lambda qt, w: (w, 0, 0),
+                (1, N, cw),
+                lambda hc, qt, w: (w, 0, hc),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bias.shape[0], block_q, N),
-                lambda qt, w: (0, qt, 0),
+                (head_block, block_q, N),
+                lambda hc, qt, w: (hc, qt, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, D),
-            lambda qt, w: (w, qt, 0),
+            (1, block_q, head_block * hd),
+            lambda hc, qt, w: (w, qt, hc),
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(qkv, qkv, bias)  # same array via two views: q rows + full-window kv
 

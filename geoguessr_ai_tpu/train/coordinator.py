@@ -155,13 +155,11 @@ def train(
 
     Returns a summary dict with final/best metrics.
     """
-    if cfg.model.backbone.name == "none":
-        raise NotImplementedError(
-            "train() consumes panorama-image datasets; for embedding-only "
-            "head training drive train.steps.make_sharded_steps directly "
-            "on embedding batches (see tests/test_embedding_training_"
-            "refine.py and train_eval_loop tests)."
-        )
+    # Embedding-only head training (reference finetune_on_embeddings,
+    # train_modes.py:132-160): backbone "none" trains the SuperGuessr head
+    # directly on precomputed embedding panoramas (an embedding SQLite
+    # grouped by build_panorama_table) through this same loop.
+    embedding_mode = cfg.model.backbone.name == "none"
     mesh = create_mesh(cfg.mesh)
     num_cells = centroid_table.num_cells
     model, mean, std, image_size = build_model(cfg, num_cells)
@@ -169,13 +167,25 @@ def train(
         image_size = cfg.model.backbone.image_size
 
     rng = jax.random.PRNGKey(cfg.seed)
-    sample = jnp.zeros(
-        (1, C.NUM_PANORAMA_VIEWS, image_size, image_size, 3)
-        if cfg.model.panorama
-        else (1, image_size, image_size, 3),
-        jnp.bfloat16,
-    )
-    variables = model.init(rng, pixel_values=sample)
+    if embedding_mode:
+        sample_kwargs = {
+            "embedding": jnp.zeros(
+                (1, C.NUM_PANORAMA_VIEWS, cfg.model.backbone.embed_dim)
+                if cfg.model.panorama
+                else (1, cfg.model.backbone.embed_dim),
+                jnp.float32,
+            )
+        }
+    else:
+        sample_kwargs = {
+            "pixel_values": jnp.zeros(
+                (1, C.NUM_PANORAMA_VIEWS, image_size, image_size, 3)
+                if cfg.model.panorama
+                else (1, image_size, image_size, 3),
+                jnp.bfloat16,
+            )
+        }
+    variables = model.init(rng, **sample_kwargs)
     variables = put_variables(variables, mesh, cfg.mesh)
 
     steps_per_epoch = max(1, len(pano_train) // cfg.batch_size)
@@ -253,22 +263,42 @@ def train(
         out = {"coords": batch["coords"]}
         if "view_mask" in batch:
             out["view_mask"] = batch["view_mask"]
+        if "embedding" in batch:
+            out["embedding"] = batch["embedding"]
         if "pixel_values" in batch and norm is not None:
             out["pixel_values"] = fused_preprocess(
                 batch["pixel_values"], norm[0], norm[1], image_size
             )
         return out
 
-    def run_validation(step):
-        agg = []
-        it = PanoramaBatchIterator(
-            pano_val,
+    def make_iter(df, shuffle=False, seed=0):
+        if embedding_mode:
+            from geoguessr_ai_tpu.data.pipeline import (
+                EmbeddingBatchIterator,
+            )
+
+            return EmbeddingBatchIterator(
+                df,
+                cfg.batch_size,
+                cfg.model.backbone.embed_dim,
+                shuffle=shuffle,
+                seed=seed,
+                drop_remainder=True,
+            )
+        return PanoramaBatchIterator(
+            df,
             cfg.batch_size,
             image_size,
+            shuffle=shuffle,
+            seed=seed,
             decode_threads=cfg.decode_threads,
             drop_remainder=True,
             fetch_fn=fetch_fn,
         )
+
+    def run_validation(step):
+        agg = []
+        it = make_iter(pano_val)
         for batch in prefetch_to_device(
             it, device=data_shard, depth=cfg.prefetch_depth
         ):
@@ -293,19 +323,9 @@ def train(
         "monitored_value": best_value if best_value is not None else float("nan"),
     }
     for epoch in range(start_epoch, cfg.num_epochs):
-        it = PanoramaBatchIterator(
-            pano_train,
-            cfg.batch_size,
-            image_size,
-            shuffle=True,
-            # fresh iterator per epoch -> vary the seed so every epoch
-            # sees a different permutation (a fixed seed would replay
-            # the same batch order each epoch)
-            seed=cfg.seed + epoch,
-            decode_threads=cfg.decode_threads,
-            drop_remainder=True,
-            fetch_fn=fetch_fn,
-        )
+        # fresh iterator per epoch -> vary the seed so every epoch sees a
+        # different permutation (a fixed seed would replay the same order)
+        it = make_iter(pano_train, shuffle=True, seed=cfg.seed + epoch)
         epoch_metrics = []
         t_epoch = time.perf_counter()
         for batch in prefetch_to_device(

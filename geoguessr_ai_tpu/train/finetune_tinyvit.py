@@ -321,3 +321,44 @@ def extract_embeddings_parquet(
     out.to_parquet(out_path, index=False)
     logger.info(f"wrote {len(out)} embeddings -> {out_path}")
     return len(out)
+
+
+def mmpretrain_export(
+    train_csv: str,
+    val_csv: str,
+    out_dir: str,
+    label_map: Optional[Dict[str, int]] = None,
+) -> Dict[str, int]:
+    """Export CSV manifests (filepath, country columns) to MMPretrain
+    JSON annotations — train.json/val.json of
+    ``{"img_path": abs_path, "gt_label": id}`` plus label_map.json
+    (reference finetune_tinyvit/mmpretrain_export.py:1-55)."""
+    import json
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _export(csv_path, out_json, lmap):
+        df = pd.read_csv(csv_path)
+        if lmap is None:
+            classes = sorted(df["country"].astype(str).unique())
+            lmap = {c: i for i, c in enumerate(classes)}
+        records = [
+            {
+                "img_path": os.path.abspath(str(row["filepath"])),
+                "gt_label": int(lmap[str(row["country"])]),
+            }
+            for _, row in df.iterrows()
+        ]
+        with open(out_json, "w") as f:
+            json.dump(records, f)
+        return lmap
+
+    label_map = _export(
+        train_csv, os.path.join(out_dir, "train.json"), label_map
+    )
+    _export(val_csv, os.path.join(out_dir, "val.json"), label_map)
+    with open(os.path.join(out_dir, "label_map.json"), "w") as f:
+        json.dump(label_map, f, indent=2)
+    return label_map

@@ -89,3 +89,31 @@ def test_finetune_and_extract(df, tmp_path):
     assert n == 6
     out = pd.read_parquet(tmp_path / "emb.parquet")
     assert len(out.iloc[0]["embedding"]) == tv.embed_dim
+
+
+def test_mmpretrain_export(tmp_path):
+    """Reference finetune_tinyvit/mmpretrain_export.py:1-55: CSV manifests
+    -> MMPretrain JSON annotations + label map."""
+    import json
+
+    import pandas as pd
+
+    from geoguessr_ai_tpu.train.finetune_tinyvit import mmpretrain_export
+
+    tr = tmp_path / "train.csv"
+    va = tmp_path / "val.csv"
+    pd.DataFrame(
+        {"filepath": ["a.jpg", "b.jpg"], "country": ["Norway", "Japan"]}
+    ).to_csv(tr, index=False)
+    pd.DataFrame({"filepath": ["c.jpg"], "country": ["Japan"]}).to_csv(
+        va, index=False
+    )
+    out = tmp_path / "mm"
+    lmap = mmpretrain_export(str(tr), str(va), str(out))
+    assert lmap == {"Japan": 0, "Norway": 1}
+    train = json.load(open(out / "train.json"))
+    assert train[0]["gt_label"] == 1 and train[1]["gt_label"] == 0
+    assert all(r["img_path"].startswith("/") for r in train)
+    val = json.load(open(out / "val.json"))
+    assert val[0]["gt_label"] == 0  # shared label map
+    assert json.load(open(out / "label_map.json")) == lmap

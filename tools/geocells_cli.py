@@ -12,6 +12,11 @@ The equivalent of the reference's 12-mode geocells_entrypoint.py
   visualize-cell  — one cell's OPTICS clusters (reference cell_visualizer)
   visualize-admin — points colored by admin1 (reference admin_visualizer)
   naive       — naive rectangle partition of a point file
+  cluster-demo — OPTICS-cluster random points in one Cell (ref mode 8)
+  generate-all — sweep every GPKG country through generation (ref mode 9)
+  gadm-query  — query country GIDs from the GPKG (ref mode 10)
+  inspect     — dump one country's cells from the manager (ref mode 11)
+  show-gadm   — geopackage layer-structure dump (reference show_gadm.py)
 """
 
 from __future__ import annotations
@@ -106,6 +111,151 @@ def cmd_visualize_admin(args):
     print(visualize_admin_regions(mgr, args.out, max_points=args.max_points))
 
 
+def cmd_cluster_demo(args):
+    """Reference mode 8 (geocells_entrypoint.py:60-65): cluster random
+    points in one Cell and print the result."""
+    import random as _random
+
+    from geoguessr_ai_tpu.geocells.cell import Cell
+
+    rng = _random.Random(args.seed)
+    pts = [
+        {
+            "latitude": rng.random() * args.spread,
+            "longitude": rng.random() * args.spread,
+        }
+        for _ in range(args.num_points)
+    ]
+    cell = Cell("demo", "Demo", "Demo", points=pts)
+    cell.cluster()
+    for cid, c in cell.clusters.items():
+        print(
+            f"cluster {cid}: {len(c['points'])} pts, "
+            f"centroid {c['centroid']}"
+        )
+
+
+def cmd_generate_all(args):
+    """Reference mode 9 (geocells_entrypoint.py:66-78): generate geocells
+    for EVERY country in the GPKG, one at a time."""
+    import sqlite3
+
+    import pandas as pd
+
+    from geoguessr_ai_tpu.geocells.generate import (
+        GenerateGeocells,
+        load_admin_tables_from_gadm,
+    )
+
+    with sqlite3.connect(args.gadm) as sql:
+        countries = list(
+            pd.read_sql_query("SELECT COUNTRY FROM ADM_0", sql)["COUNTRY"]
+        )
+    with open(args.points) as f:
+        pts = [
+            {
+                "latitude": float(line.split(",")[0]),
+                "longitude": float(line.split(",")[1]),
+            }
+            for line in f
+            if line.strip()
+        ]
+    for i, country in enumerate(countries):
+        print(f"[{i + 1}/{len(countries)}] {country}", flush=True)
+        try:
+            tables = load_admin_tables_from_gadm(args.gadm, [country])
+            GenerateGeocells(tables, {country: pts}).generate_geocells(
+                args.out
+            )
+        except Exception as e:  # keep sweeping (reference loops all)
+            print(f"  skipped: {e}")
+
+
+def cmd_gadm_query(args):
+    """Reference mode 10 (geocells_entrypoint.py:79-90): query country
+    GIDs straight from the GPKG-as-SQLite."""
+    import sqlite3
+
+    import pandas as pd
+
+    with sqlite3.connect(args.gadm) as sql:
+        q = "SELECT GID_0, COUNTRY FROM ADM_0"
+        if args.country:
+            q += " WHERE COUNTRY = ?"
+            df = pd.read_sql_query(q, sql, params=(args.country,))
+        else:
+            df = pd.read_sql_query(q, sql)
+    for _, row in df.iterrows():
+        print(f"{row['GID_0']}\t{row['COUNTRY']}")
+
+
+def cmd_inspect(args):
+    """Reference mode 11 (geocells_entrypoint.py:91-95): dump one
+    country's cells from the GeocellManager."""
+    from geoguessr_ai_tpu.geocells.manager import GeocellManager
+
+    mgr = GeocellManager(args.geocell_dir)
+    for idx, country, admin1, cell in mgr.iter_cells():
+        if country == args.country:
+            print(
+                f"[{idx}] {country}/{admin1} id={cell.id} "
+                f"points={len(getattr(cell, 'points', []))} "
+                f"clusters={len(getattr(cell, 'clusters', {}) or {})}"
+            )
+
+
+def cmd_show_gadm(args):
+    """Reference show_gadm.py:1-81: dump a geopackage's layer structure
+    (rows, columns, dtypes, sample values) via its SQLite tables."""
+    import sqlite3
+
+    import pandas as pd
+
+    if not os.path.exists(args.gadm):
+        raise SystemExit(f"Error: File {args.gadm} does not exist")
+    print(f"Analyzing Geopackage: {args.gadm}")
+    print("=" * 50)
+    with sqlite3.connect(args.gadm) as conn:
+        try:
+            layers = [
+                r[0]
+                for r in conn.execute(
+                    "SELECT table_name FROM gpkg_contents"
+                ).fetchall()
+            ]
+        except sqlite3.Error as e:
+            raise SystemExit(
+                f"Error accessing gpkg_contents: {e}\n"
+                "This might not be a valid geopackage file."
+            )
+        print(f"Found {len(layers)} layers:\n")
+        for layer in layers:
+            print(f"Layer: {layer}")
+            print("-" * 30)
+            try:
+                df = pd.read_sql_query(
+                    f'SELECT * FROM "{layer}" LIMIT {args.sample_rows}',
+                    conn,
+                )
+                n = conn.execute(
+                    f'SELECT COUNT(*) FROM "{layer}"'
+                ).fetchone()[0]
+                print(f"  Rows: {n}")
+                print(f"  Columns: {len(df.columns)}")
+                print("  Column details:")
+                for col in df.columns:
+                    sample = "All null"
+                    nonnull = df[col].dropna()
+                    if len(nonnull):
+                        sample = str(nonnull.iloc[0])
+                        if len(sample) > 50:
+                            sample = sample[:47] + "..."
+                    print(f"    {col}: {df[col].dtype} -> {sample}")
+                print()
+            except Exception as e:
+                print(f"  Error reading layer: {e}\n")
+
+
 def cmd_naive(args):
     from geoguessr_ai_tpu.geocells.naive_cell import partition
 
@@ -162,6 +312,35 @@ def main() -> None:
     n.add_argument("--points", required=True)
     n.add_argument("--num-cells", type=int, default=100)
     n.set_defaults(fn=cmd_naive)
+
+    cd = sub.add_parser("cluster-demo")
+    cd.add_argument("--num-points", type=int, default=100)
+    cd.add_argument("--spread", type=float, default=1.0)
+    cd.add_argument("--seed", type=int, default=0)
+    cd.set_defaults(fn=cmd_cluster_demo)
+
+    ga = sub.add_parser("generate-all")
+    ga.add_argument("--gadm", required=True)
+    ga.add_argument("--points", required=True, help="lat,lon lines")
+    ga.add_argument("--out", default=f"{C.GEOCELL_DIR}/finished_geocells")
+    ga.set_defaults(fn=cmd_generate_all)
+
+    gq = sub.add_parser("gadm-query")
+    gq.add_argument("--gadm", required=True)
+    gq.add_argument("--country", default=None)
+    gq.set_defaults(fn=cmd_gadm_query)
+
+    ins = sub.add_parser("inspect")
+    ins.add_argument(
+        "--geocell-dir", default=f"{C.GEOCELL_DIR}/finished_geocells"
+    )
+    ins.add_argument("--country", required=True)
+    ins.set_defaults(fn=cmd_inspect)
+
+    sg = sub.add_parser("show-gadm")
+    sg.add_argument("--gadm", required=True)
+    sg.add_argument("--sample-rows", type=int, default=5)
+    sg.set_defaults(fn=cmd_show_gadm)
 
     args = ap.parse_args()
     args.fn(args)
