@@ -76,19 +76,26 @@ def main() -> None:
         if panos_per_s > best:
             best, best_bs = panos_per_s, batch_imgs
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "4-heading panoramas/sec/chip (TinyViT-21M-512 embed, "
-                    f"bf16, batch {best_bs} imgs)"
-                ),
-                "value": round(best, 1),
-                "unit": "panoramas/s/chip",
-                "vs_baseline": round(best / TARGET_PANOS_PER_S, 4),
-            }
-        )
-    )
+    record = {
+        "metric": (
+            "4-heading panoramas/sec/chip (TinyViT-21M-512 embed, "
+            f"bf16, batch {best_bs} imgs)"
+        ),
+        "value": round(best, 1),
+        "unit": "panoramas/s/chip",
+        "vs_baseline": round(best / TARGET_PANOS_PER_S, 4),
+    }
+    # Quality axis (BASELINE.md geocell top-1 / median-km): folded in from
+    # the latest tools/quality_run.py artifact — a from-scratch mini-train
+    # through the REAL coordinator on a synthetic multi-cell dataset
+    # (no pretrained weights reachable offline).
+    quality_path = "data/out/QUALITY.json"
+    try:
+        with open(quality_path) as f:
+            record.update(json.load(f))
+    except FileNotFoundError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

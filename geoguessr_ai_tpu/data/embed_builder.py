@@ -72,11 +72,18 @@ def build_embedding_sqlite(
     embedder: Optional[Embedder] = None,
     limit: Optional[int] = None,
     log_fn=None,
+    predecoded: bool = False,
 ) -> int:
     """Embed every image row of a raw SQLite into an embedding SQLite.
 
     Returns rows written.  Telemetry records mode/processed/total/
     throughput_img_per_s/phase like the reference (s3bucket.py:960-970).
+
+    predecoded=True decodes the WHOLE shard to uint8 up front and streams
+    in-memory batches to the device — decouples device throughput from
+    host decode so the device-limited rate is measurable on boxes with
+    few cores (this image has 1; per-core decode rates in
+    tools/bench_host_decode.py ground the many-core host projection).
     """
     df = load_sqlite_dataset(src_sqlite)
     if limit:
@@ -100,7 +107,30 @@ def build_embedding_sqlite(
     decoded_q: "queue.Queue" = queue.Queue(maxsize=4)
     B = cfg.batch_size
 
-    def producer():
+    def producer_predecoded():
+        # decode the WHOLE shard up front, then stream pure-memory batches
+        import concurrent.futures as cf
+
+        rows = list(df.itertuples())
+        with cf.ThreadPoolExecutor(cfg.fetch_threads) as pool:
+            all_imgs = np.stack(
+                list(
+                    pool.map(
+                        lambda r: decode_jpeg(r.image, embedder.image_size),
+                        rows,
+                    )
+                )
+            ) if rows else np.zeros(
+                (0, embedder.image_size, embedder.image_size, 3), np.uint8
+            )
+        meter.update(0, phase="predecode_done")
+        for start in range(0, len(rows), B):
+            decoded_q.put(
+                (rows[start : start + B], all_imgs[start : start + B])
+            )
+        decoded_q.put(None)
+
+    def producer_streaming():
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(cfg.fetch_threads) as pool:
@@ -134,7 +164,10 @@ def build_embedding_sqlite(
                 decoded_q.put((batch_rows, imgs))
         decoded_q.put(None)
 
-    t = threading.Thread(target=producer, daemon=True)
+    t = threading.Thread(
+        target=producer_predecoded if predecoded else producer_streaming,
+        daemon=True,
+    )
     t.start()
 
     def record_stream() -> Iterable[Dict]:

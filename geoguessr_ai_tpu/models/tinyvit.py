@@ -363,7 +363,9 @@ class WindowAttention(nn.Module):
         # directly by the projection einsums — materializing transposes
         # around the pallas_call instead costs more than the kernel saves
         # (measured 525 vs 668 img/s end-to-end).
-        if self.use_pallas and N % 128 == 0 and N >= 512:
+        from geoguessr_ai_tpu.ops import window_attention as _wa
+
+        if self.use_pallas and N % 128 == 0 and N >= _wa.QKV_KERNEL_MIN_N:
             # Large windows: the qkv-fused kernel consumes the raw
             # (B, N, 3D) projection — no layout einsums at the boundary
             # (those cost more than the kernel saves; see the per-fusion

@@ -46,6 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: q-tile rows for the large-N kernel.
 BLOCK_Q = 256
+#: minimum window size N for WindowAttention to pick the qkv-fused kernel
+#: over the head-major kernels (benchmarks patch this to sweep variants).
+#: MEASURED (v5e, B=320 e2e): qkv-fused at stage 1 gives 734 vs 705
+#: img/s — the fused (W, N, 3D) boundary removes the bnc,chd->bhnd
+#: projection einsums (~25 ms) + dtype-convert copies (~8.5 ms) the
+#: per-fusion profile attributed to the head-major layout — so the qkv
+#: kernel is now the default wherever Pallas attention is enabled.
+QKV_KERNEL_MIN_N = 0
 #: windows per grid cell for the small-N kernel.
 BLOCK_W = 8
 
@@ -247,15 +255,17 @@ window_attention.defvjp(_fwd, _bwd)
 # Heads are lane-sliced inside VMEM; output writes concatenated heads as a
 # plain (W, N, D) tensor for the downstream projection.
 #
-# MEASURED VERDICT (v5e, TinyViT-21M-512 e2e, bf16 B=256): enabling this at
-# stage 2 via pallas_attention_stages=(1, 2) gives 664 img/s vs 697 img/s
-# for the default (1,) — the XLA einsum path still wins at stage-2 shapes
-# (N=1024, 12 heads, hd=32) because the per-head lane-sliced dots are
-# narrow (32-wide) on the MXU while XLA batches all heads into one fat
-# contraction.  Parity vs XLA: 0.0073 max emb diff (bf16-level).  Kept as
-# a tested opt-in: it becomes the right building block once the LN/proj
-# epilogue is fused in (ROADMAP item 1), which removes the remaining
-# boundary and amortises the narrow dots.
+# MEASURED VERDICTS (v5e, TinyViT-21M-512 e2e, bf16):
+# * round 1, per-head Python-loop dots (B=256): 664 vs 697 img/s.
+# * round 2, head-chunked v2 below (grid (hc, qt, w), resident bias
+#   chunk, 4-head batched dot_general, B=320): 662 (bq256/hb4) and 579
+#   (bq128/hb4) vs 693 for the (1,)-default.  Three designs in, the XLA
+#   einsum attention still wins at stage-2 shapes: the hd=32 contraction
+#   runs at 1/4 MXU depth for BOTH paths, so the kernel's only edge is
+#   HBM traffic — and XLA's own softmax/probs scheduling at these shapes
+#   is better than the per-fusion-profile estimate suggested, while the
+#   kernel pays k/v refetch per q-tile.  XLA stays the stage-2 default;
+#   the kernel remains a tested opt-in.
 # ---------------------------------------------------------------------------
 
 

@@ -95,3 +95,23 @@ def test_build_embedding_sqlite_roundtrip(raw_sqlite, tmp_path):
         telemetry[0]
     )
     assert telemetry[-1]["processed"] == 10
+
+
+def test_build_embedding_sqlite_predecoded_matches(raw_sqlite, tmp_path):
+    """predecoded=True (in-memory uint8 mode, VERDICT #9) writes the same
+    embeddings as the streaming path."""
+    emb = _TinyEmbedder()
+    out_a = str(tmp_path / "emb_stream.sqlite")
+    out_b = str(tmp_path / "emb_pre.sqlite")
+    cfg = EmbedBuildConfig(batch_size=4, fetch_threads=2)
+    assert build_embedding_sqlite(raw_sqlite, out_a, cfg, embedder=emb) == 10
+    assert (
+        build_embedding_sqlite(
+            raw_sqlite, out_b, cfg, embedder=emb, predecoded=True
+        )
+        == 10
+    )
+    a = read_embeddings(out_a).sort_values("location_id")
+    b = read_embeddings(out_b).sort_values("location_id")
+    for ea, eb in zip(a["embedding"], b["embedding"]):
+        np.testing.assert_allclose(ea, eb, atol=1e-6)
