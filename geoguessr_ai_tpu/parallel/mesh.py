@@ -52,6 +52,13 @@ def create_mesh(
     """Build a (data, model) mesh over the available devices.
 
     data_parallel == -1 uses all devices not consumed by the model axis.
+
+    Multi-slice topologies (devices spanning >1 slice over DCN): the
+    device matrix is laid out so the MODEL axis always stays inside a
+    slice (its all-gather/reduce-scatter around every sharded matmul must
+    ride ICI) while the data axis's once-per-step gradient all-reduce
+    spans slices — the standard scaling-book axis placement.  Detection
+    uses ``device.slice_index`` when the runtime exposes it.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -61,8 +68,29 @@ def create_mesh(
         raise ValueError(
             f"mesh {dp}x{mp} does not cover {n} devices"
         )
-    arr = np.asarray(devices).reshape(dp, mp)
+    arr = np.asarray(dcn_aware_order(devices, mp)).reshape(dp, mp)
     return Mesh(arr, axis_names=(cfg.data_axis, cfg.model_axis))
+
+
+def dcn_aware_order(devices: Sequence, model_parallel: int) -> list:
+    """Order devices so reshape(dp, mp) keeps every model-axis row inside
+    one slice (per-matmul collectives on ICI; only the data axis's
+    per-step gradient all-reduce crosses DCN).  Single-slice topologies
+    pass through unchanged; raises if the model axis cannot avoid DCN."""
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) <= 1 or model_parallel <= 1:
+        return list(devices)
+    per_slice: dict = {}
+    for d in devices:
+        per_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    sizes = {len(v) for v in per_slice.values()}
+    if len(sizes) == 1 and next(iter(sizes)) % model_parallel == 0:
+        return [d for sid in sorted(per_slice) for d in per_slice[sid]]
+    raise ValueError(
+        f"model_parallel={model_parallel} does not divide the per-slice "
+        f"device counts {sorted(sizes)} — a model axis crossing DCN would "
+        "put per-matmul collectives on the slow interconnect"
+    )
 
 
 def batch_sharding(mesh: Mesh, cfg: MeshConfig = MeshConfig()):

@@ -211,11 +211,31 @@ class CheckpointStore:
         self, target: Any, name: str = "last"
     ) -> Tuple[Any, Dict]:
         """Restore (state, meta) from <dir>/<name> into the target pytree
-        structure (reference resume: main_coordinator_idun.py:268-283)."""
+        structure (reference resume: main_coordinator_idun.py:268-283).
+
+        Sharding-aware: jax.Array leaves in the target are replaced by
+        abstract ShapeDtypeStructs carrying their shardings, so orbax
+        reads each host's shards straight into their device placement —
+        no full-array host materialization on large meshes (ROADMAP #9)."""
         path = self._path(name)
         self._join()
+
+        def as_abstract(x):
+            try:
+                import jax
+
+                if isinstance(x, jax.Array) and hasattr(x, "sharding"):
+                    return jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=x.sharding
+                    )
+            except Exception:
+                pass
+            return x
+
+        import jax as _jax
+
         template = {
-            "state": target,
+            "state": _jax.tree_util.tree_map(as_abstract, target),
             "meta": {
                 "epoch": np.zeros((), np.int64),
                 "monitored_value": np.zeros((), np.float64),

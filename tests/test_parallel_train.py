@@ -139,3 +139,56 @@ def test_cosine_warm_restarts_schedule():
     assert float(sched(10)) > 0.9  # restarted
     assert float(sched(29)) < 0.1  # second cycle is 20 steps
     assert float(sched(30)) > 0.9
+
+
+def test_dcn_aware_order():
+    """Multi-slice device ordering: model-axis rows must stay inside one
+    slice (per-matmul collectives on ICI, not DCN)."""
+    from geoguessr_ai_tpu.parallel.mesh import dcn_aware_order
+
+    class D:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+        def __repr__(self):
+            return f"D{self.id}@{self.slice_index}"
+
+    # interleaved arrival order across 2 slices of 4 devices each
+    devs = [D(i, i % 2) for i in range(8)]
+    ordered = dcn_aware_order(devs, model_parallel=2)
+    rows = [ordered[i : i + 2] for i in range(0, 8, 2)]
+    for row in rows:
+        assert len({d.slice_index for d in row}) == 1, rows
+    # mp that can't fit inside a slice raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DCN"):
+        dcn_aware_order([D(i, i % 3) for i in range(6)], model_parallel=4)
+    # single slice passes through unchanged
+    single = [D(i, 0) for i in range(4)]
+    assert dcn_aware_order(single, 2) == single
+
+
+def test_sharded_restore_preserves_shardings(tmp_path):
+    """CheckpointStore.restore places restored leaves per the target's
+    shardings (abstract-template restore, ROADMAP #9)."""
+    from geoguessr_ai_tpu.train.checkpoints import (
+        CheckpointConfig,
+        CheckpointStore,
+    )
+
+    mesh_cfg = MeshConfig(data_parallel=4, model_parallel=2)
+    cfg, model, mesh, state, centroids = _setup(mesh_cfg)
+    store = CheckpointStore(
+        CheckpointConfig(directory=str(tmp_path), keep_top_k=1)
+    )
+    store.save_epoch(jax.device_get(state), 0, 1.0, None)
+    restored, meta = store.restore(state, "best")
+    k0 = state.params["cell_layer"]["kernel"]
+    k1 = restored.params["cell_layer"]["kernel"]
+    assert k1.sharding.shard_shape(k1.shape) == k0.sharding.shard_shape(
+        k0.shape
+    )
+    np.testing.assert_allclose(
+        np.asarray(k1), np.asarray(k0), atol=1e-7
+    )
