@@ -66,15 +66,17 @@ class TinyViTConfig:
     #: tensor XLA otherwise windows away); needs producer-fused
     #: quantization.  Opt-in.
     quantize_gemms: bool = False
-    #: Per-stage fused Pallas window attention (ops/window_attention.py).
-    #: Per-fusion profiling at B=256: the kernel path wins stage 1
-    #: in-context (72.0 vs 86.2 ms including its layout einsums) but loses
-    #: stage 2 (168.4 vs 104.0 — the (B,N,H,hd) projection layouts around
-    #: the kernel outweigh the kernel's own 94 ms) and stage 3 (+3 ms), so
-    #: the default enables stage 1 only.  Earlier all-or-nothing attempts
-    #: measured 525-607 vs 668 img/s; kernel-only isolation is 2.2-2.4x
-    #: faster than XLA at every stage.  () disables Pallas entirely.
-    pallas_attention_stages: Tuple[int, ...] = (1,)
+    #: Per-stage fused Pallas window attention (ops/window_attention.py,
+    #: qkv-fused kernel — QKV_KERNEL_MIN_N).  MEASURED e2e @ B=320 bf16
+    #: (round 2): stages (1,) 734, (1, 3) 742 img/s vs 705 for round 1's
+    #: head-major stage-1 config — the fused (W, N, 3D) boundary removes
+    #: the projection-layout einsums that made the round-1 head-major
+    #: kernels lose at stages 2/3.  Stage 2 STILL loses in every design
+    #: tried (three kernels measured 579-689 vs 693; the hd=32 score
+    #: contraction runs at 1/4 MXU depth either way and XLA schedules the
+    #: softmax/probs traffic well at N=1024) — XLA remains its default.
+    #: () disables Pallas entirely.
+    pallas_attention_stages: Tuple[int, ...] = (1, 3)
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
