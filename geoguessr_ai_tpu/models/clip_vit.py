@@ -38,12 +38,16 @@ class CLIPVisionConfig:
     #: token-major kernel (k/v resident per (image, head-chunk) cell, f32
     #: scores only in VMEM, native N — no padding/transposes at the
     #: boundary).  Param tree matches nn.MultiHeadDotProductAttention
-    #: exactly.  Round-1's simple q-tiled port (pad-to-640, head-major
-    #: transposes, per-q-tile k/v refetch) measured 203 vs 298 img/s and
-    #: was replaced by this design.
-    pallas_attention: bool = False
+    #: exactly.  MEASURED (v5e, B=256 e2e, bf16): 368 vs 298 img/s
+    #: (+24%), min cosine 0.99990 vs the XLA path — DEFAULT ON.  (CPU
+    #: lowers to the XLA einsum via lax.platform_dependent, so tests and
+    #: host-side init are unaffected.)  Round-1's simple q-tiled port
+    #: (pad-to-640, head-major transposes, per-q-tile k/v refetch)
+    #: measured 203 img/s and was replaced by this design.
+    pallas_attention: bool = True
     #: heads per kernel grid cell ((HB, N, N) f32 scores in VMEM).
-    pallas_head_block: int = 2
+    #: Measured B=256: hb4 695 ms == hb8 (859 XLA, 713 hb2).
+    pallas_head_block: int = 4
     #: int8 GEMM path (ops/quant.py) for the MLP (and, on the Pallas
     #: attention path, the qkv/out projections) — inference-only.
     #: MEASURED (v5e, B=256): LOSES for now — 285 img/s (XLA attn) and
