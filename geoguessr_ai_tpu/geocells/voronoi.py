@@ -3,6 +3,11 @@
 Reference behavior: data/geocells/voronoi_polygon_2d.py:4 — reconstruct
 scipy's infinite Voronoi regions into finite polygons (used by the cell
 visualizers to draw cluster areas).
+
+The algorithm is the standard public finite-Voronoi reconstruction the
+reference itself credits: Pauli Virtanen's gist, via
+https://nbviewer.org/gist/pv/8037100 ("Colorized Voronoi diagram with
+Scipy, in less than 50 lines of code").
 """
 
 from __future__ import annotations

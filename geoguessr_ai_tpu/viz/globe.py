@@ -354,3 +354,129 @@ def visualize_single_guess(
         title=f"guess: {distance_km:.0f} km, {score:.0f} pts",
         view_state={"longitude": gt_lon, "latitude": gt_lat, "zoom": 1.5},
     )
+
+
+def load_sv_points(points_txt_path: str):
+    """Parse 'lat, lng' (or whitespace-separated) lines; skip malformed
+    (reference visualize_finished_geocells._load_sv_points:13-35)."""
+    import numpy as np
+
+    latlng = []
+    with open(points_txt_path) as f:
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) != 2:
+                parts = line.split()
+            if len(parts) != 2:
+                continue
+            try:
+                latlng.append((float(parts[0]), float(parts[1])))
+            except ValueError:
+                continue
+    if not latlng:
+        raise ValueError(f"no valid coordinates in {points_txt_path}")
+    return np.asarray(latlng, float)
+
+
+def parse_indices_column(value):
+    """proto_df 'indices' cell -> list[int] (reference
+    visualize_finished_geocells._parse_indices_column:38-55)."""
+    import ast
+
+    if isinstance(value, (list, tuple)):
+        return [int(i) for i in value]
+    try:
+        parsed = ast.literal_eval(str(value))
+        if isinstance(parsed, (list, tuple)):
+            return [int(i) for i in parsed]
+        return [int(parsed)]
+    except Exception:
+        s = str(value).strip().strip("[]")
+        return [int(x) for x in s.split(",") if x.strip()] if s else []
+
+
+def visualize_finished_geocells(
+    proto_csv_path: str,
+    sv_points_path: str,
+    out_path: str = "data/out/finished_geocells_globe.html",
+) -> str:
+    """Detail view of the finished geocells (reference
+    visualize_finished_geocells.py:437-466): every training point colored
+    by its (geocell, cluster) — clusters within one geocell get distinct
+    hues — plus arrows from each point to its cluster centroid.
+    """
+    import colorsys
+
+    import numpy as np
+    import pandas as pd
+
+    sv_points = load_sv_points(sv_points_path)
+    df = pd.read_csv(proto_csv_path)
+
+    # distinct hue per cluster WITHIN each geocell (reference
+    # _build_cluster_metadata:70-112)
+    colors = {}
+    for geocell_id, group in df.groupby("geocell_index"):
+        clusters = sorted({int(c) for c in group["cluster_id"]})
+        n = max(1, len(clusters))
+        for i, cid in enumerate(clusters):
+            r, g, b = colorsys.hsv_to_rgb((i / n) % 1.0, 0.70, 0.95)
+            colors[(int(geocell_id), cid)] = [
+                int(r * 255), int(g * 255), int(b * 255), 200,
+            ]
+
+    pts, arrows = [], []
+    for _, row in df.iterrows():
+        gid, cid = int(row["geocell_index"]), int(row["cluster_id"])
+        idxs = [
+            i
+            for i in parse_indices_column(row["indices"])
+            if 0 <= i < len(sv_points)
+        ]
+        if not idxs:
+            continue
+        color = colors.get((gid, cid), [180, 180, 180, 200])
+        lats = sv_points[idxs, 0]
+        lngs = sv_points[idxs, 1]
+        centroid = [float(np.mean(lngs)), float(np.mean(lats))]
+        tooltip = (
+            f"geocell {gid} cluster {cid} "
+            f"({row.get('country', '')}/{row.get('admin1', '')})"
+        )
+        for lat, lng in zip(lats, lngs):
+            pos = [float(lng), float(lat)]
+            pts.append(
+                {"position": pos, "color": color, "tooltip": tooltip}
+            )
+            arrows.append(
+                {
+                    "source": pos,
+                    "target": centroid,
+                    "color": color[:3] + [110],
+                    "tooltip": tooltip,
+                }
+            )
+
+    layers = [
+        {
+            "type": "LineLayer",
+            "id": "to-centroid",
+            "data": arrows,
+            "props": {"widthMinPixels": 1},
+            "accessors": {
+                "getSourcePosition": "source",
+                "getTargetPosition": "target",
+                "getColor": "color",
+            },
+        },
+        {
+            "type": "ScatterplotLayer",
+            "id": "cluster-points",
+            "data": pts,
+            "props": {"radiusMinPixels": 2},
+            "accessors": {"getPosition": "position", "getFillColor": "color"},
+        },
+    ]
+    return write_globe_html(
+        layers, out_path, title="finished geocells"
+    )

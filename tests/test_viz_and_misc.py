@@ -161,3 +161,52 @@ def test_visualize_admin_regions_html(tmp_path):
     out = visualize_admin_regions(_Mgr(), str(tmp_path / "admin.html"))
     html = open(out).read()
     assert "Norway/Rogaland" in html and "Kenya/Nairobi" in html
+
+
+def test_visualize_finished_geocells(tmp_path):
+    """Reference visualize_finished_geocells.py detail view: cluster-
+    colored points + point->centroid arrows from proto_df + sv points."""
+    import pandas as pd
+
+    from geoguessr_ai_tpu.viz.globe import (
+        parse_indices_column,
+        visualize_finished_geocells,
+    )
+
+    pts = tmp_path / "sv_points.txt"
+    pts.write_text("10.0, 20.0\n10.1, 20.1\n-5.0, 30.0\nbad line\n")
+    proto = tmp_path / "proto_df.csv"
+    pd.DataFrame(
+        [
+            {
+                "geocell_index": 0,
+                "country": "X",
+                "admin1": "Y",
+                "cell_id": "c0",
+                "cluster_id": 0,
+                "count": 2,
+                "indices": "[0, 1]",
+                "centroid_lat": 10.05,
+                "centroid_lng": 20.05,
+            },
+            {
+                "geocell_index": 1,
+                "country": "X",
+                "admin1": "Z",
+                "cell_id": "c1",
+                "cluster_id": 0,
+                "count": 1,
+                "indices": "[2]",
+                "centroid_lat": -5.0,
+                "centroid_lng": 30.0,
+            },
+        ]
+    ).to_csv(proto, index=False)
+    out = str(tmp_path / "globe.html")
+    path = visualize_finished_geocells(str(proto), str(pts), out)
+    html = open(path).read()
+    assert "LineLayer" in html and "cluster-points" in html
+    assert "geocell 0 cluster 0" in html
+    assert parse_indices_column("[3, 4]") == [3, 4]
+    assert parse_indices_column("7") == [7]
+    assert parse_indices_column("") == []

@@ -17,6 +17,8 @@ The equivalent of the reference's 12-mode geocells_entrypoint.py
   gadm-query  — query country GIDs from the GPKG (ref mode 10)
   inspect     — dump one country's cells from the manager (ref mode 11)
   show-gadm   — geopackage layer-structure dump (reference show_gadm.py)
+  visualize-finished — per-cluster colored points + centroid arrows
+                (reference visualize_finished_geocells.py)
 """
 
 from __future__ import annotations
@@ -256,6 +258,14 @@ def cmd_show_gadm(args):
                 print(f"  Error reading layer: {e}\n")
 
 
+def cmd_visualize_finished(args):
+    from geoguessr_ai_tpu.viz.globe import visualize_finished_geocells
+
+    print(
+        visualize_finished_geocells(args.proto_df, args.sv_points, args.out)
+    )
+
+
 def cmd_naive(args):
     from geoguessr_ai_tpu.geocells.naive_cell import partition
 
@@ -336,6 +346,14 @@ def main() -> None:
     )
     ins.add_argument("--country", required=True)
     ins.set_defaults(fn=cmd_inspect)
+
+    vf = sub.add_parser("visualize-finished")
+    vf.add_argument("--proto-df", default=f"{C.GEOCELL_DIR}/proto_df.csv")
+    vf.add_argument("--sv-points", required=True, help="lat,lng lines")
+    vf.add_argument(
+        "--out", default="data/out/finished_geocells_globe.html"
+    )
+    vf.set_defaults(fn=cmd_visualize_finished)
 
     sg = sub.add_parser("show-gadm")
     sg.add_argument("--gadm", required=True)
