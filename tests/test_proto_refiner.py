@@ -183,3 +183,77 @@ def test_member_bank_save_load_roundtrip_with_projection(tmp_path):
     np.testing.assert_array_equal(loaded.embeddings, mb.embeddings)
     np.testing.assert_allclose(loaded.projection, proj)
     assert loaded.max_members == 4
+
+
+def test_refinement_lift_on_synthetic_queries():
+    """ROADMAP #7 validation: on a synthetic world where the classifier's
+    top-1 is often wrong but the true cell is in the top-k, prototype
+    refinement must recover accuracy and cut the distance error."""
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.geo import haversine
+    from geoguessr_ai_tpu.models.proto_refiner import refine
+
+    rng = np.random.default_rng(0)
+    K, P, D, B, topk = 16, 4, 32, 96, 5
+    # well-separated cells, tight prototype clusters
+    cell_lng = rng.uniform(-150, 150, K)
+    cell_lat = rng.uniform(-55, 55, K)
+    protos = rng.normal(0, 1, (K, P, D)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=-1, keepdims=True)
+    bank_coords = np.stack(
+        [
+            np.repeat(cell_lng[:, None], P, 1) + rng.normal(0, 0.02, (K, P)),
+            np.repeat(cell_lat[:, None], P, 1) + rng.normal(0, 0.02, (K, P)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    mask = np.ones((K, P), np.float32)
+
+    true_cell = rng.integers(0, K, B)
+    query = protos[true_cell, rng.integers(0, P, B)] + rng.normal(
+        0, 0.05, (B, D)
+    ).astype(np.float32)
+
+    # classifier: true cell in top-k but top-1 is a DIFFERENT cell for
+    # half the batch
+    topk_ids = np.zeros((B, topk), np.int32)
+    topk_probs = np.zeros((B, topk), np.float32)
+    for b in range(B):
+        others = rng.permutation([c for c in range(K) if c != true_cell[b]])
+        wrong_first = b % 2 == 0
+        ids = (
+            [others[0], true_cell[b], *others[1 : topk - 1]]
+            if wrong_first
+            else [true_cell[b], *others[: topk - 1]]
+        )
+        topk_ids[b] = ids
+        topk_probs[b] = np.array([0.4, 0.3, 0.15, 0.1, 0.05], np.float32)
+    initial_lnglat = np.stack(
+        [cell_lng[topk_ids[:, 0]], cell_lat[topk_ids[:, 0]]], -1
+    ).astype(np.float32)
+    true_lnglat = np.stack(
+        [cell_lng[true_cell], cell_lat[true_cell]], -1
+    ).astype(np.float32)
+
+    refined, cell, changed = refine(
+        jnp.asarray(protos),
+        jnp.asarray(bank_coords),
+        jnp.asarray(mask),
+        jnp.asarray(query),
+        jnp.asarray(topk_ids),
+        jnp.asarray(topk_probs),
+        jnp.asarray(initial_lnglat),
+        temperature=0.3,
+        max_refinement_km=25000.0,
+    )
+    d_initial = np.asarray(haversine(jnp.asarray(true_lnglat), jnp.asarray(initial_lnglat)))
+    d_refined = np.asarray(haversine(jnp.asarray(true_lnglat), jnp.asarray(refined)))
+    acc_initial = float(np.mean(topk_ids[:, 0] == true_cell))
+    acc_refined = float(np.mean(np.asarray(cell) == true_cell))
+    assert acc_initial <= 0.55  # the setup really is hard
+    assert acc_refined > 0.9, (acc_initial, acc_refined)
+    assert np.median(d_refined) < 0.2 * max(np.median(d_initial), 1.0), (
+        np.median(d_initial),
+        np.median(d_refined),
+    )
