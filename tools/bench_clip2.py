@@ -30,8 +30,6 @@ def measure(name, cfg, B):
     json.dump(RESULTS, open("/tmp/clip2.json","w"), indent=1)
     del x
 
-measure("hb4_B256", base, 256)
-measure("hb8_B256", dataclasses.replace(base, pallas_head_block=8), 256)
 measure("hb4_B320", base, 320)
 measure("hb4_B384", base, 384)
 print("DONE", flush=True)
