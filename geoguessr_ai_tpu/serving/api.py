@@ -50,6 +50,13 @@ def create_app(engine=None, backbone: str = "tinyvit",
             )
         return state["engine"]
 
+    def get_batcher():
+        if state.get("batcher") is None:
+            from geoguessr_ai_tpu.serving.engine import MicroBatcher
+
+            state["batcher"] = MicroBatcher(get_engine())
+        return state["batcher"]
+
     @app.get("/")
     def root():
         return {
@@ -102,13 +109,14 @@ def create_app(engine=None, backbone: str = "tinyvit",
 
             eng = get_engine()
             views = np.zeros(
-                (1, 4, eng.image_size, eng.image_size, 3), np.uint8
+                (4, eng.image_size, eng.image_size, 3), np.uint8
             )
             for v, blob in enumerate(sub["blobs"][:4]):
-                views[0, v] = decode_jpeg(blob, eng.image_size)
+                views[v] = decode_jpeg(blob, eng.image_size)
             if len(sub["blobs"]) == 1:
-                views[0, 1:] = views[0, 0]
-            r = eng.predict_batch(views)[0]
+                views[1:] = views[0]
+            # concurrent requests coalesce into one device batch
+            r = get_batcher().predict(views)
             sub["blobs"] = sub["blobs"][:1]  # keep one image for /image/{id}
             sub["result"] = {
                 "lat": r.lat,

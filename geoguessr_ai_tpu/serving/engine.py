@@ -233,3 +233,99 @@ class ServingEngine:
         if len(image_paths) == 1:
             views[0, 1:] = views[0, 0]  # replicate single image across views
         return self.predict_batch(views)[0]
+
+
+class MicroBatcher:
+    """Coalesces concurrent single-panorama requests into one device
+    batch (the serving-side analogue of training's batched step — the
+    per-request path would run the jitted program at B=1 and waste the
+    chip; ROADMAP serving item).
+
+    Requests are gathered for up to ``max_wait_ms`` or until
+    ``max_batch``; the batch is padded up to a fixed bucket size so the
+    engine's jitted program compiles once per bucket, not per arrival
+    count."""
+
+    def __init__(
+        self,
+        engine: ServingEngine,
+        max_batch: int = 16,
+        max_wait_ms: float = 8.0,
+        buckets: Sequence[int] = (1, 4, 8, 16),
+    ):
+        import queue
+        import threading
+
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.buckets = sorted(buckets)
+        assert self.max_batch <= self.buckets[-1]
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = None
+        self._lock = threading.Lock()
+
+    def _ensure_thread(self):
+        import threading
+
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._loop, daemon=True
+                )
+                self._thread.start()
+
+    def _loop(self):
+        import queue
+        import time
+
+        while True:
+            item = self._q.get()
+            batch = [item]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                views = np.stack([b[1] for b in batch])
+                masks = np.stack([b[2] for b in batch])
+                bucket = next(
+                    s for s in self.buckets if s >= len(batch)
+                )
+                if bucket > len(batch):  # pad by repeating the last row
+                    reps = bucket - len(batch)
+                    views = np.concatenate(
+                        [views, np.repeat(views[-1:], reps, axis=0)]
+                    )
+                    masks = np.concatenate(
+                        [masks, np.repeat(masks[-1:], reps, axis=0)]
+                    )
+                results = self.engine.predict_batch(views, view_mask=masks)
+                for (fut, _, _), r in zip(batch, results):
+                    fut.set_result(r)
+            except Exception as e:  # deliver the failure to every waiter
+                for fut, _, _ in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def predict(
+        self,
+        views_u8: np.ndarray,
+        view_mask: Optional[np.ndarray] = None,
+        timeout: float = 60.0,
+    ) -> InferenceResult:
+        """Blocking single-panorama predict: (V, H, W, 3) uint8 ->
+        InferenceResult, batched with concurrent callers."""
+        import concurrent.futures
+
+        self._ensure_thread()
+        if view_mask is None:
+            view_mask = np.ones((views_u8.shape[0],), np.float32)
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        self._q.put((fut, views_u8, np.asarray(view_mask, np.float32)))
+        return fut.result(timeout=timeout)

@@ -72,3 +72,58 @@ def test_predict_batch_deterministic(engine, fixtures_dir):
     r1, r2 = engine.predict_batch(views)
     assert r1.top_ids == r2.top_ids
     np.testing.assert_allclose(r1.embedding, r2.embedding, atol=1e-5)
+
+
+def test_micro_batcher_coalesces_and_maps_results():
+    """Concurrent predicts share device batches (bucketed shapes) and
+    each caller gets ITS result back."""
+    import concurrent.futures as cf
+    import threading
+
+    import numpy as np
+
+    from geoguessr_ai_tpu.serving.engine import MicroBatcher
+
+    calls = []
+    release = threading.Event()
+
+    class FakeEngine:
+        def predict_batch(self, views, view_mask=None):
+            release.wait(5)  # hold the first batch so others queue up
+            calls.append(views.shape[0])
+            return [
+                # identify each request by its views' fill value
+                int(views[b, 0, 0, 0, 0]) for b in range(views.shape[0])
+            ]
+
+    mb = MicroBatcher(FakeEngine(), max_batch=8, max_wait_ms=30)
+
+    def submit(i):
+        v = np.full((4, 2, 2, 3), i, np.uint8)
+        return mb.predict(v)
+
+    with cf.ThreadPoolExecutor(8) as pool:
+        futs = [pool.submit(submit, i) for i in range(8)]
+        import time
+
+        time.sleep(0.2)  # let all 8 enqueue
+        release.set()
+        results = [f.result(timeout=10) for f in futs]
+    assert sorted(results) == list(range(8))
+    # everything ran in at most 2 device batches, bucket-padded
+    assert len(calls) <= 2 and all(c in (1, 4, 8, 16) for c in calls), calls
+
+
+def test_micro_batcher_propagates_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from geoguessr_ai_tpu.serving.engine import MicroBatcher
+
+    class Boom:
+        def predict_batch(self, views, view_mask=None):
+            raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(Boom(), max_wait_ms=1)
+    with _pytest.raises(RuntimeError, match="device on fire"):
+        mb.predict(np.zeros((4, 2, 2, 3), np.uint8))

@@ -30,6 +30,7 @@ def measure(name, cfg, B):
     json.dump(RESULTS, open("/tmp/clip2.json","w"), indent=1)
     del x
 
-measure("hb4_B320", base, 320)
-measure("hb4_B384", base, 384)
+measure("hb4_B288", base, 288)
+measure("hb4_B352", base, 352)
+measure("hb4_B448", base, 448)
 print("DONE", flush=True)
