@@ -50,13 +50,27 @@ def int8_matmul(
     w: jax.Array,
     bias: Optional[jax.Array] = None,
     out_dtype=jnp.bfloat16,
+    per_row: bool = True,
 ) -> jax.Array:
     """y = x @ w (+ bias) through the int8 MXU path.
 
     x: (..., K) activations (any float dtype); w: (K, N) float weights.
     Returns (..., N) in out_dtype.
+
+    per_row=True (default) scales activations per ROW (token): the
+    abs-max has no cross-row dependency, so XLA can fuse the whole
+    quantization into the producer's epilogue instead of a separate
+    global-reduce pass over the activation (the measured cost that sank
+    the per-tensor variant, docs/performance.md) — and per-row scales
+    are tighter, improving accuracy for free.
     """
-    xq, xs = quantize_symmetric(x.astype(jnp.float32))
+    xf = x.astype(jnp.float32)
+    if per_row:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # (..., 1)
+        xs = jnp.maximum(amax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    else:
+        xq, xs = quantize_symmetric(xf)
     wq, ws = quantize_symmetric(w.astype(jnp.float32), axis=1)  # (1, N)
     y = jax.lax.dot_general(
         xq,
@@ -64,7 +78,7 @@ def int8_matmul(
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    y = y * (xs * ws.reshape(-1))  # (..., N) * (N,) per-channel
+    y = y * (xs * ws.reshape(-1))  # row scales x per-channel col scales
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)
