@@ -45,17 +45,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: heads per grid cell; f32 scores are (HEAD_BLOCK, N, N).
 HEAD_BLOCK = 2
+#: images per grid cell (benchmarks sweep this; scores scale with it).
+IMG_BLOCK = 1
+#: grid dimension semantics for the pallas_call.
+DIMENSION_SEMANTICS = ("arbitrary", "arbitrary")
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
     # Blocks arrive channel-sliced per head-chunk by the BlockSpec index
     # maps (static DMA slices — no dynamic lane indexing in-kernel).
+    # IB images x HB heads stack into ONE batched dot (Mosaic allows one
+    # matmul batch dim) so each MXU dispatch carries more work.
+    IB = q_ref.shape[0]
+
     def heads(ref):
-        x = ref[0]  # (N, HB*hd)
-        hb = x.shape[-1] // hd
+        hb = ref.shape[-1] // hd
         return jnp.stack(
-            [x[:, h * hd : (h + 1) * hd] for h in range(hb)], axis=0
-        )  # (HB, N, hd)
+            [
+                ref[i, :, h * hd : (h + 1) * hd]
+                for i in range(IB)
+                for h in range(hb)
+            ],
+            axis=0,
+        )  # (IB*HB, N, hd)
 
     q = heads(q_ref)
     k = heads(k_ref)
@@ -66,7 +78,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
         k,
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (HB, N, N) f32 — lives only in VMEM
+    )  # (IB*HB, N, N) f32 — lives only in VMEM
     s = s * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -76,47 +88,57 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
         v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (HB, N, hd)
-    for h in range(o.shape[0]):
-        o_ref[0, :, h * hd : (h + 1) * hd] = o[h].astype(o_ref.dtype)
+    )  # (IB*HB, N, hd)
+    hb = o.shape[0] // IB
+    for i in range(IB):
+        for h in range(hb):
+            o_ref[i, :, h * hd : (h + 1) * hd] = o[i * hb + h].astype(
+                o_ref.dtype
+            )
 
 
-def _flash_pallas(qkv, scale, num_heads, head_block, interpret=False):
+def _flash_pallas(
+    qkv, scale, num_heads, head_block, img_block=None, interpret=False
+):
     B, N, D3 = qkv.shape
     D = D3 // 3
     hd = D // num_heads
     cw = head_block * hd  # channel width per chunk
     n_chunks = num_heads // head_block
+    if img_block is None:
+        img_block = IMG_BLOCK
+    while B % img_block:
+        img_block -= 1
     # q/k/v are channel-block views of the SAME fused qkv array: chunk hc
     # of q sits at channel block hc, of k at n_chunks + hc, etc.
     return pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, hd=hd),
         out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
-        grid=(B, n_chunks),
+        grid=(B // img_block, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, N, cw),
+                (img_block, N, cw),
                 lambda b, hc: (b, 0, hc),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N, cw),
+                (img_block, N, cw),
                 lambda b, hc, _n=n_chunks: (b, 0, _n + hc),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N, cw),
+                (img_block, N, cw),
                 lambda b, hc, _n=n_chunks: (b, 0, 2 * _n + hc),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, N, cw),
+            (img_block, N, cw),
             lambda b, hc: (b, 0, hc),
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=DIMENSION_SEMANTICS,
         ),
         interpret=interpret,
     )(qkv, qkv, qkv)

@@ -100,3 +100,17 @@ def test_clip_tower_pallas_opt_in_same_tree_and_numbers():
         atol=2e-5,
         rtol=1e-5,
     )
+
+
+def test_kernel_img_block_variants():
+    qkv = _rand_qkv(4, 64, 64, seed=5)
+    want = _flash_xla(qkv, 0.3, num_heads=8)
+    for ib in (1, 2, 4):
+        got = _flash_pallas(
+            qkv, 0.3, num_heads=8, head_block=2, img_block=ib,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+            err_msg=str(ib),
+        )
