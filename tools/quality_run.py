@@ -35,7 +35,7 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import numpy as np  # noqa: E402
 
 
-def synth_view(cell_id: int, heading: int, rng, size: int = 64) -> bytes:
+def synth_view(cell_id, heading, rng, size=64, noise=28.0) -> bytes:
     """JPEG with a cell-specific signature: base color + stripe
     orientation/frequency keyed to the cell, plus heavy noise."""
     from PIL import Image
@@ -58,14 +58,14 @@ def synth_view(cell_id: int, heading: int, rng, size: int = 64) -> bytes:
         2 * np.pi * freq * (xx * np.cos(angle) + yy * np.sin(angle)) + phase
     )
     img = palette.reshape(1, 1, 3) * (0.6 + 0.25 * stripes[..., None])
-    img = img + rng.normal(0, 28, img.shape)  # noise keeps it nontrivial
+    img = img + rng.normal(0, noise, img.shape)
     img = np.clip(img, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=85)
     return buf.getvalue()
 
 
-def build_dataset(path, table, n_locations, rng):
+def build_dataset(path, table, n_locations, rng, noise=28.0):
     from geoguessr_ai_tpu.data.sqlite_dataset import (
         create_sqlite_from_records,
     )
@@ -84,10 +84,142 @@ def build_dataset(path, table, n_locations, rng):
                     "lat": lat,
                     "lon": lon,
                     "heading": h,
-                    "image": synth_view(c, h, rng),
+                    "image": synth_view(c, h, rng, noise=noise),
                 }
             )
     create_sqlite_from_records(path, records)
+
+
+def evaluate_with_refiner(coord, cfg, table, train_df, val_df, ckpt_dir):
+    """Second-stage evaluation: restore the BEST checkpoint, build a
+    prototype bank from the train split's learned embeddings, and
+    measure raw vs refined val metrics (reference ProtoRefiner pipeline,
+    proto_refiner.py:129-237, fed by this run's own model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.data.pipeline import PanoramaBatchIterator
+    from geoguessr_ai_tpu.geo import haversine, nearest_centroid_labels
+    from geoguessr_ai_tpu.models.proto_refiner import refine
+    from geoguessr_ai_tpu.models.super_guessr import decode_predictions
+    from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
+    from geoguessr_ai_tpu.train.checkpoints import (
+        CheckpointConfig,
+        CheckpointStore,
+    )
+    from geoguessr_ai_tpu.train.state import create_train_state
+    from geoguessr_ai_tpu.config import (
+        TINYVIT_NORM_MEAN,
+        TINYVIT_NORM_STD,
+        OptimizerConfig,
+    )
+
+    K = table.num_cells
+    model, _, _, image_size = coord.build_model(cfg, K)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        pixel_values=jnp.zeros((1, 4, image_size, image_size, 3)),
+    )
+    state = create_train_state(
+        model, variables, OptimizerConfig(), 10
+    )
+    store = CheckpointStore(CheckpointConfig(directory=ckpt_dir))
+    state, _ = store.restore(state, "best")
+    centroids = jnp.asarray(table.centroids)
+
+    @jax.jit
+    def forward(params, batch_stats, pixels, mask):
+        emb, logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pixel_values=pixels,
+            view_mask=mask,
+            train=False,
+        )
+        probs, preds, lnglat, topk = decode_predictions(
+            logits, centroids, min(5, K)
+        )
+        emb = emb.astype(jnp.float32)
+        if emb.ndim == 3:  # per-view (B, V, D) -> fused query embedding
+            emb = emb.mean(axis=1)
+        return emb, lnglat, topk.values, topk.indices
+
+    def run_split(df):
+        embs, lnglats, tvals, tids, coords = [], [], [], [], []
+        it = PanoramaBatchIterator(df, cfg.batch_size, image_size)
+        for batch in it:
+            pixels = fused_preprocess(
+                jnp.asarray(batch["pixel_values"]),
+                TINYVIT_NORM_MEAN,
+                TINYVIT_NORM_STD,
+                image_size,
+            )
+            e, ll, tv, ti = forward(
+                state.params, state.batch_stats, pixels,
+                jnp.asarray(batch["view_mask"]),
+            )
+            n = batch["num_real"]
+            embs.append(np.asarray(e)[:n])
+            lnglats.append(np.asarray(ll)[:n])
+            tvals.append(np.asarray(tv)[:n])
+            tids.append(np.asarray(ti)[:n])
+            coords.append(batch["coords"][:n])
+        return (
+            np.concatenate(embs),
+            np.concatenate(lnglats),
+            np.concatenate(tvals),
+            np.concatenate(tids),
+            np.concatenate(coords),
+        )
+
+    tr_emb, _, _, _, tr_coords = run_split(train_df)
+    va_emb, va_lnglat, va_tvals, va_tids, va_coords = run_split(val_df)
+
+    # one prototype per cell: mean train embedding of its member panoramas
+    labels = np.asarray(
+        nearest_centroid_labels(jnp.asarray(tr_coords), centroids)
+    )
+    D = tr_emb.shape[-1]
+    bank_emb = np.zeros((K, 1, D), np.float32)
+    bank_coords = np.zeros((K, 1, 2), np.float32)
+    bank_mask = np.zeros((K, 1), np.float32)
+    for c in range(K):
+        sel = labels == c
+        if sel.any():
+            bank_emb[c, 0] = tr_emb[sel].mean(0)
+            bank_coords[c, 0] = tr_coords[sel].mean(0)
+            bank_mask[c, 0] = 1.0
+
+    refined_lnglat, refined_cell, _ = refine(
+        jnp.asarray(bank_emb),
+        jnp.asarray(bank_coords),
+        jnp.asarray(bank_mask),
+        jnp.asarray(va_emb),
+        jnp.asarray(va_tids),
+        jnp.asarray(va_tvals),
+        jnp.asarray(va_lnglat),
+        max_refinement_km=25000.0,
+    )
+    true_labels = np.asarray(
+        nearest_centroid_labels(jnp.asarray(va_coords), centroids)
+    )
+    d_raw = np.asarray(
+        haversine(jnp.asarray(va_coords), jnp.asarray(va_lnglat))
+    )
+    d_ref = np.asarray(
+        haversine(jnp.asarray(va_coords), refined_lnglat)
+    )
+    return {
+        "quality_raw_top1_recomputed": round(
+            float((va_tids[:, 0] == true_labels).mean()), 4
+        ),
+        "quality_refined_top1": round(
+            float((np.asarray(refined_cell) == true_labels).mean()), 4
+        ),
+        "quality_raw_median_km_recomputed": round(
+            float(np.median(d_raw)), 2
+        ),
+        "quality_refined_median_km": round(float(np.median(d_ref)), 2),
+    }
 
 
 def main():
@@ -97,6 +229,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=14)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--out", default="data/out/QUALITY.json")
+    ap.add_argument("--refine", action="store_true")
+    ap.add_argument("--noise", type=float, default=28.0)
     args = ap.parse_args()
 
     import jax
@@ -136,7 +270,7 @@ def main():
     t0 = time.perf_counter()
     with tempfile.TemporaryDirectory() as td:
         db = os.path.join(td, "dataset_sqlite_quality.sqlite")
-        build_dataset(db, table, args.locations, rng)
+        build_dataset(db, table, args.locations, rng, noise=args.noise)
         pano = load_sqlite_panorama_dataset(db)
         train_df, val_df = split_train_val(pano, 0.25)
         print(
@@ -188,6 +322,14 @@ def main():
                 table,
                 checkpoint_dir=os.path.join(td, "ckpts"),
             )
+            refined = (
+                evaluate_with_refiner(
+                    coord, cfg, table, train_df, val_df,
+                    os.path.join(td, "ckpts"),
+                )
+                if args.refine
+                else {}
+            )
         finally:
             coord.build_backbone = orig
 
@@ -209,6 +351,7 @@ def main():
         "quality_wall_s": round(wall, 1),
         "quality_backbone": "tinyvit-test_tiny (no pretrained weights "
         "reachable offline; proves the learning loop, not SOTA)",
+        **refined,
     }
     print(json.dumps(quality, indent=1), flush=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
