@@ -142,6 +142,54 @@ class _PointwiseConv(nn.Module):
         )
 
 
+#: Lower depthwise 3x3 convs to 9 shifted multiply-adds instead of
+#: conv_general_dilated.  MEASURED (v5e, B=320 e2e): LOSES — 574 vs 740
+#: img/s; XLA's depthwise conv lowering beats the strided-slice MAC form
+#: (the 9 shifted slices materialize).  Kept as a parity-tested opt-in
+#: knob; default stays the conv lowering.
+DW_SHIFTED = False
+
+
+class _DWConvParams(nn.Module):
+    """Param holder with nn.Conv's depthwise tree layout ({conv:{kernel
+    (k, k, 1, C)}}) so both depthwise lowerings share checkpoints."""
+
+    kernel_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, 1, self.features),
+            jnp.float32,
+        )
+
+
+def _dw_conv3x3_shifted(x, w, stride: int, dtype):
+    """Depthwise 3x3 'same' conv as 9 shifted slices x broadcast MACs.
+
+    x: (B, H, W, C); w: (3, 3, 1, C).  Matches nn.Conv(strides, pad=1,
+    feature_group_count=C) for even H/W."""
+    B, H, W, C = x.shape
+    Ho = (H - 1) // stride + 1
+    Wo = (W - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((B, Ho, Wo, C), dtype)
+    w = w.astype(dtype)
+    for di in range(3):
+        for dj in range(3):
+            sl = xp[
+                :,
+                di : di + (Ho - 1) * stride + 1 : stride,
+                dj : dj + (Wo - 1) * stride + 1 : stride,
+                :,
+            ]
+            out = out + sl.astype(dtype) * w[di, dj, 0]
+    return out
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) + BatchNorm, NHWC.  BN stats live in 'batch_stats'."""
 
@@ -161,6 +209,14 @@ class ConvBN(nn.Module):
                 quantize=self.quantize,
                 name="conv",
             )(x)
+        elif (
+            DW_SHIFTED
+            and self.kernel == 3
+            and self.groups == self.features
+            and x.shape[-1] == self.features
+        ):
+            w = _DWConvParams(3, self.features, name="conv")()
+            x = _dw_conv3x3_shifted(x, w, self.stride, self.dtype)
         else:
             x = nn.Conv(
                 self.features,

@@ -182,3 +182,30 @@ def test_forward_wrapper_model_output():
     assert out.preds_LLH.shape == (2, 2)
     assert out.top5_geocells.indices.shape == (2, 5)
     assert out.embedding.shape == (2, 4, cfg.embed_dim)
+
+
+def test_dw_shifted_lowering_parity():
+    """DW_SHIFTED (strided-slice depthwise lowering) matches the conv
+    path on the same params (opt-in knob; measured slower e2e on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import geoguessr_ai_tpu.models.tinyvit as tv
+
+    cfg = tv.TinyViTConfig.test_tiny(dtype=jnp.float32)
+    m = tv.TinyViT(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 64, 64, 3)), jnp.float32
+    )
+    v = m.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(m.apply(v, x))
+    tv.DW_SHIFTED = True
+    try:
+        assert jax.tree_util.tree_structure(
+            m.init(jax.random.PRNGKey(0), x)
+        ) == jax.tree_util.tree_structure(v)
+        b = np.asarray(m.apply(v, x))
+    finally:
+        tv.DW_SHIFTED = False
+    np.testing.assert_allclose(a, b, atol=5e-6)
