@@ -287,6 +287,9 @@ class PretrainConfig:
 class EmbedBuildConfig:
     """Embedding-dataset builder (reference s3bucket.py:786-1396)."""
 
-    batch_size: int = 512  # per chip (reference: 512/GPU, config.py:63)
+    #: per chip.  Reference uses 512/GPU (config.py:63); measured on v5e
+    #: the TinyViT embed forward is fastest at 320 (742 img/s vs 719 at
+    #: 512 — docs/performance.md batch sweep).
+    batch_size: int = 320
     fetch_threads: int = 64
     backbone: BackboneConfig = BackboneConfig()
