@@ -59,8 +59,20 @@ def main() -> None:
         )
         # Compile, then sync via an explicit host fetch: through the axon
         # relay, block_until_ready returns before execution finishes, so a
-        # tiny device->host read is the only honest barrier.
-        np.asarray(fwd(variables, x)[0, 0:1])
+        # tiny device->host read is the only honest barrier.  The remote
+        # compile helper fails transiently (HTTP 500) — retry.
+        for attempt in range(5):
+            try:
+                np.asarray(fwd(variables, x)[0, 0:1])
+                break
+            except Exception as e:
+                print(
+                    f"# compile attempt {attempt} failed: {str(e)[:120]}",
+                    file=sys.stderr,
+                )
+                time.sleep(20)
+        else:
+            raise RuntimeError("bench compile failed after 5 attempts")
         iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):

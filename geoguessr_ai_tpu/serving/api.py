@@ -111,8 +111,11 @@ def create_app(engine=None, backbone: str = "tinyvit",
             views = np.zeros(
                 (4, eng.image_size, eng.image_size, 3), np.uint8
             )
-            for v, blob in enumerate(sub["blobs"][:4]):
-                views[v] = decode_jpeg(blob, eng.image_size)
+            try:
+                for v, blob in enumerate(sub["blobs"][:4]):
+                    views[v] = decode_jpeg(blob, eng.image_size)
+            except Exception as e:
+                raise HTTPException(400, f"undecodable image: {e}")
             if len(sub["blobs"]) == 1:
                 views[1:] = views[0]
             # concurrent requests coalesce into one device batch

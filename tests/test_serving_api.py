@@ -22,8 +22,9 @@ class _FakeEngine:
     class table:
         num_cells = 42
 
-    def predict_batch(self, views):
-        return [_FakeResult()]
+    def predict_batch(self, views, view_mask=None):
+        # MicroBatcher may deliver several coalesced requests at once
+        return [_FakeResult() for _ in range(views.shape[0])]
 
 
 def test_api_routes(fixtures_dir):
