@@ -46,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: q-tile rows for the large-N kernel.
 BLOCK_Q = 256
+#: score-tile dtype inside the qkv-fused kernel.  bf16 halves the VMEM
+#: tile (allowing bigger q-tiles / fewer k/v refetches); exp/softmax
+#: normalization still accumulates f32.  Benchmarks patch this.
+QKV_SCORE_DTYPE = jnp.float32
 #: minimum window size N for WindowAttention to pick the qkv-fused kernel
 #: over the head-major kernels (benchmarks patch this to sweep variants).
 #: MEASURED (v5e, B=320 e2e): qkv-fused at stage 1 gives 734 vs 705
@@ -285,7 +289,7 @@ def _qkv_fused_kernel(
     hb = q_all.shape[-1] // (3 * hd)
     # Bias travels bf16 ((H, BQ, N) f32 alone blows the 16MB scoped-VMEM
     # stack at stage-2 shapes); upcast at use.
-    b = b_ref[...].astype(jnp.float32)  # (HB, BQ, N)
+    b = b_ref[...]  # (HB, BQ, N) bf16; upcast at use
 
     def heads(x, slot):
         return jnp.stack(
@@ -299,18 +303,20 @@ def _qkv_fused_kernel(
     q = heads(q_all, 0)
     k = heads(kv_all, 1)
     v = heads(kv_all, 2)
+    sd = QKV_SCORE_DTYPE
     s = jax.lax.dot_general(
         q,
         k,
         (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (HB, BQ, N)
-    s = s * scale + b
+        preferred_element_type=sd,
+    )  # (HB, BQ, N) — MXU accumulates f32 internally either way
+    s = s * jnp.asarray(scale, sd) + b.astype(sd)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+    p = (p.astype(jnp.float32) / denom).astype(v.dtype)
     o = jax.lax.dot_general(
-        p.astype(v.dtype),
+        p,
         v,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
