@@ -313,6 +313,15 @@ class MicroBatcher:
                     if not fut.done():
                         fut.set_exception(e)
 
+    def warmup(self, num_views: int = 4) -> None:
+        """Precompile every bucket size (first-request latency otherwise
+        pays a compile per bucket on TPU)."""
+        size = self.engine.image_size
+        for b in self.buckets:
+            views = np.zeros((b, num_views, size, size, 3), np.uint8)
+            masks = np.ones((b, num_views), np.float32)
+            self.engine.predict_batch(views, view_mask=masks)
+
     def predict(
         self,
         views_u8: np.ndarray,

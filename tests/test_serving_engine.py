@@ -127,3 +127,24 @@ def test_micro_batcher_propagates_errors():
     mb = MicroBatcher(Boom(), max_wait_ms=1)
     with _pytest.raises(RuntimeError, match="device on fire"):
         mb.predict(np.zeros((4, 2, 2, 3), np.uint8))
+
+
+def test_micro_batcher_warmup_compiles_buckets():
+    import numpy as np
+
+    from geoguessr_ai_tpu.serving.engine import MicroBatcher
+
+    seen = []
+
+    class Recorder:
+        image_size = 8
+
+        def predict_batch(self, views, view_mask=None):
+            seen.append(views.shape)
+            assert view_mask is not None
+            return [None] * views.shape[0]
+
+    mb = MicroBatcher(Recorder(), buckets=(1, 4, 8, 16))
+    mb.warmup()
+    assert [s[0] for s in seen] == [1, 4, 8, 16]
+    assert all(s[1:] == (4, 8, 8, 3) for s in seen)
