@@ -325,6 +325,18 @@ def _qkv_fused_kernel(
         o_ref[0, :, h * hd : (h + 1) * hd] = o[h].astype(o_ref.dtype)
 
 
+def select_head_block(num_heads: int, hd: int, requested: int) -> int:
+    """Largest hb <= requested satisfying Mosaic's lane constraint: the
+    qkv channel block (3*hd*hb wide) must divide by 128; falls back to
+    the full head count (channel block == full dim, always legal)."""
+    hb = min(requested, num_heads)
+    while hb > 1 and (num_heads % hb or (3 * hd * hb) % 128):
+        hb -= 1
+    if num_heads % hb or (3 * hd * hb) % 128:
+        return num_heads
+    return hb
+
+
 def _attention_qkv_fused_pallas(
     qkv, bias, scale, num_heads, block_q=256, head_block=4
 ):
@@ -339,12 +351,7 @@ def _attention_qkv_fused_pallas(
     W, N, D3 = qkv.shape
     D = D3 // 3
     hd = D // num_heads
-    hb = min(head_block, num_heads)
-    while hb > 1 and (num_heads % hb or (3 * hd * hb) % 128):
-        hb -= 1
-    if num_heads % hb or (3 * hd * hb) % 128:
-        hb = num_heads  # full channel width == array dim (always legal)
-    head_block = hb
+    head_block = select_head_block(num_heads, hd, head_block)
     block_q = min(block_q, N)
     while N % block_q:
         block_q //= 2

@@ -136,3 +136,26 @@ def test_clip_pallas_attention_opt_in_matches_default():
         atol=1e-4,
         rtol=1e-4,
     )
+
+
+def test_select_head_block_lane_rule():
+    """Mosaic lane constraint: the qkv channel block (3*hd*hb) must be
+    128-divisible or span all heads (full width is always legal)."""
+    from geoguessr_ai_tpu.ops.window_attention import select_head_block
+
+    # hd=32 (TinyViT): 96*hb % 128 == 0 iff hb % 4 == 0
+    assert select_head_block(12, 32, 4) == 4
+    assert select_head_block(12, 32, 8) == 4  # 8 does not divide 12
+    assert select_head_block(12, 32, 3) == 12  # no valid hb <= 3 -> full
+    assert select_head_block(6, 32, 4) == 6  # 6 % 4 != 0 -> full
+    assert select_head_block(18, 32, 4) == 18
+    # hd=64 (CLIP-ish): 192*hb % 128 == 0 iff hb even
+    assert select_head_block(16, 64, 4) == 4
+    assert select_head_block(16, 64, 3) == 2
+    # selected block always satisfies the constraint or is full
+    for H in (3, 5, 6, 12, 16, 18):
+        for hd in (16, 32, 64):
+            for req in (1, 2, 3, 4, 8):
+                hb = select_head_block(H, hd, req)
+                assert H % hb == 0
+                assert (3 * hd * hb) % 128 == 0 or hb == H
