@@ -125,3 +125,25 @@ def test_learned_vocab_covers_caption_words_compactly():
     for word in ("street", "view", "photo", "norway", "climate"):
         pieces = tok.tokenize(word)
         assert len(pieces) <= 2, (word, pieces)
+
+
+def test_vendored_assets_token_goldens():
+    """Frozen token ids for fixed captions: the vendored vocab/merges are
+    a model-facing contract (a pretrained text tower is bound to them) —
+    regenerating the assets must be a deliberate act that updates these
+    goldens (tools/build_clip_bpe.py + rerun this file's writer)."""
+    import json
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "clip_bpe_goldens.json"
+    )
+    golden = json.load(open(golden_path))
+    tok = load_default_tokenizer()
+    assert tok.vocab_size == golden["vocab_size"]
+    texts = [
+        "A Street View photo in Norway.",
+        "A Street View photo in the region of Oslo in the United States.",
+        "This location has tropical rainforest climate.",
+        "The photo was taken in December.",
+    ]
+    np.testing.assert_array_equal(tok(texts), np.asarray(golden["ids"]))
