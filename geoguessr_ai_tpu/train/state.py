@@ -137,9 +137,14 @@ def make_optimizer(
     steps_per_epoch: int,
     trainable_mask=None,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    """trainable_mask: optional pytree/callable marking trainable leaves
-    True; frozen leaves get NO update (optax.masked stops AdamW weight
-    decay too — gradient zeroing alone would let frozen params decay)."""
+    """trainable_mask: optional pytree marking trainable leaves True;
+    frozen leaves get NO update at all.
+
+    Implementation note (round-2 bug found by the CLIP-freeze e2e test):
+    ``optax.masked(tx, mask)`` passes the mask=False leaves' updates
+    through UNCHANGED — i.e. raw gradients would be applied to "frozen"
+    params.  The frozen side must be explicitly routed to set_to_zero
+    (which also stops AdamW weight decay on frozen params)."""
     sched = cosine_warm_restarts(
         cfg.learning_rate,
         steps_per_cycle=max(1, steps_per_epoch * cfg.cosine_t0),
@@ -157,7 +162,12 @@ def make_optimizer(
         ),
     )
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     return tx, sched
 
 

@@ -182,3 +182,97 @@ def test_checkpoint_store_async_save(tmp_path):
     assert float(meta["monitored_value"]) == 2.0
     # NaN epoch went to 'last' only at the time (no epoch_0003_* dir)
     assert not any("0003" in n for n in os.listdir(str(tmp_path)))
+
+
+def test_train_with_clip_backbone_and_freeze(
+    tiny_cfg, dataset, centroid_table, tmp_path
+):
+    """train() over a CLIP tower with the reference finetune freeze
+    (encoder.layers[:-1] frozen — the round-1 ADVICE bug path): frozen
+    layers must not move, the last layer + head must."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    import geoguessr_ai_tpu.train.coordinator as coord
+    from geoguessr_ai_tpu.config import (
+        CLIP_NORM_MEAN,
+        CLIP_NORM_STD,
+        BackboneConfig,
+        ModelConfig,
+    )
+    from geoguessr_ai_tpu.models import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+        clip_mean_token_embedding,
+    )
+
+    class _ClipEmbed(CLIPVisionTower):
+        def __call__(self, pixel_values, train: bool = False):
+            return clip_mean_token_embedding(super().__call__(pixel_values))
+
+    cv = dc.replace(CLIPVisionConfig.test_tiny(), dtype=jnp.float32)
+
+    orig = coord.build_backbone
+
+    def clip_builder(cfg):
+        return _ClipEmbed(cv), CLIP_NORM_MEAN, CLIP_NORM_STD, cv.image_size
+
+    coord.build_backbone = clip_builder
+    captured = {}
+    orig_create = coord.create_train_state
+
+    def capture_state(model, variables, *a, **k):
+        captured["init_params"] = jax.device_get(variables["params"])
+        return orig_create(model, variables, *a, **k)
+
+    coord.create_train_state = capture_state
+    try:
+        cfg = dc.replace(
+            tiny_cfg,
+            num_epochs=1,
+            model=ModelConfig(
+                backbone=BackboneConfig(
+                    name="clip",
+                    image_size=cv.image_size,
+                    embed_dim=cv.hidden_size,
+                    freeze_all_but_last_stage=True,
+                ),
+                panorama=True,
+            ),
+        )
+        pano = load_sqlite_panorama_dataset(dataset)
+        train_df, val_df = split_train_val(pano, 0.25)
+        summary = coord.train(
+            cfg, train_df, val_df, centroid_table,
+            checkpoint_dir=str(tmp_path / "ck"), max_steps=2,
+        )
+    finally:
+        coord.build_backbone = orig
+        coord.create_train_state = orig_create
+
+    assert np.isfinite(summary["monitored_value"])
+    # verify via a fresh restore that frozen layers did not move
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        str(tmp_path / "ck" / "last")
+    )
+    p0 = captured["init_params"]
+    p1 = restored["state"]["params"]
+    last = f"layer{cv.num_layers - 1}"
+
+    def changed(a, b):
+        import jax as _jax
+
+        return any(
+            float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
+            for x, y in zip(
+                _jax.tree_util.tree_leaves(a), _jax.tree_util.tree_leaves(b)
+            )
+        )
+
+    assert not changed(p0["backbone"]["layer0"], p1["backbone"]["layer0"])
+    assert changed(p0["backbone"][last], p1["backbone"][last])
+    assert changed(p0["cell_layer"], p1["cell_layer"])
