@@ -225,9 +225,17 @@ class CheckpointStore:
                 import jax
 
                 if isinstance(x, jax.Array) and hasattr(x, "sharding"):
-                    return jax.ShapeDtypeStruct(
-                        x.shape, x.dtype, sharding=x.sharding
-                    )
+                    # Only pin COMMITTED arrays to their sharding.  Leaves
+                    # the runtime placed by default (e.g. optimizer scalars
+                    # from an un-jitted tx.init) must stay free to move, or
+                    # the restored state mixes committed single-device
+                    # scalars with mesh-committed params and the next
+                    # jitted step rejects the device mismatch.
+                    if getattr(x, "_committed", False):
+                        return jax.ShapeDtypeStruct(
+                            x.shape, x.dtype, sharding=x.sharding
+                        )
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype)
             except Exception:
                 pass
             return x

@@ -276,3 +276,35 @@ def test_train_with_clip_backbone_and_freeze(
     assert not changed(p0["backbone"]["layer0"], p1["backbone"]["layer0"])
     assert changed(p0["backbone"][last], p1["backbone"][last])
     assert changed(p0["cell_layer"], p1["cell_layer"])
+
+
+def test_resume_matches_uninterrupted_training(
+    tiny_cfg, dataset, centroid_table, tmp_path
+):
+    """Checkpoint/resume determinism: train 2 epochs straight vs train 1
+    epoch, restart from the checkpoint, train the 2nd — final params
+    must match (catches lost optimizer state / rng / epoch-seed drift)."""
+    import dataclasses as dc
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    def params_after(ck, epochs_first, epochs_total):
+        cfg = dc.replace(tiny_cfg, num_epochs=epochs_first)
+        _tiny_train(cfg, dataset, centroid_table, ck, None)
+        if epochs_first < epochs_total:
+            cfg = dc.replace(tiny_cfg, num_epochs=epochs_total)
+            _tiny_train(cfg, dataset, centroid_table, ck, None)
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.join(ck, "last")
+        )
+        return restored["state"]["params"]
+
+    a = params_after(str(tmp_path / "straight"), 2, 2)
+    b = params_after(str(tmp_path / "resumed"), 1, 2)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-6, rtol=1e-5
+        )
