@@ -209,3 +209,29 @@ def test_dw_shifted_lowering_parity():
     finally:
         tv.DW_SHIFTED = False
     np.testing.assert_allclose(a, b, atol=5e-6)
+
+
+def test_window_partition_unpartition_inverse():
+    """Partition/unpartition are exact inverses for every (H, W, window)
+    combination the deployed configs use — these lower to pure reshapes
+    XLA fuses away, so a silent transpose bug here would scramble every
+    window's tokens."""
+    import numpy as np
+
+    from geoguessr_ai_tpu.models.tinyvit import (
+        window_partition,
+        window_unpartition,
+    )
+
+    rng = np.random.default_rng(0)
+    for H, W, w in ((64, 64, 16), (32, 32, 32), (16, 16, 16), (8, 8, 2)):
+        x = jnp.asarray(rng.normal(size=(2, H, W, 5)), jnp.float32)
+        windows = window_partition(x, w)
+        assert windows.shape == (2 * (H // w) * (W // w), w * w, 5)
+        back = window_unpartition(windows, w, (H, W))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+        # window 0 of batch 0 is exactly the top-left wxw patch, row-major
+        np.testing.assert_array_equal(
+            np.asarray(windows[0].reshape(w, w, 5)),
+            np.asarray(x[0, :w, :w, :]),
+        )
