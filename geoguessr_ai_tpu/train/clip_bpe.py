@@ -198,6 +198,17 @@ class CLIPBPETokenizer:
         ids = ids[: self.max_length - 2]
         return [self.bos_id] + ids + [self.eos_id]
 
+    def decode(self, ids) -> str:
+        """ids -> text (HF convention: drop specials, '</w>' -> space)."""
+        toks = [
+            self.decoder.get(int(i), "")
+            for i in np.asarray(ids).reshape(-1)
+        ]
+        text = "".join(
+            t for t in toks if t not in (BOS_TOKEN, EOS_TOKEN)
+        )
+        return text.replace("</w>", " ").strip()
+
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         out = np.full(
             (len(texts), self.max_length), self.eos_id, np.int32

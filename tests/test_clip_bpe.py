@@ -147,3 +147,10 @@ def test_vendored_assets_token_goldens():
         "The photo was taken in December.",
     ]
     np.testing.assert_array_equal(tok(texts), np.asarray(golden["ids"]))
+
+
+def test_decode_roundtrip():
+    tok = load_default_tokenizer()
+    for text in ("a street view photo in norway.", "hello world"):
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
