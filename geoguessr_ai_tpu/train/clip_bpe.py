@@ -199,15 +199,27 @@ class CLIPBPETokenizer:
         return [self.bos_id] + ids + [self.eos_id]
 
     def decode(self, ids) -> str:
-        """ids -> text (HF convention: drop specials, '</w>' -> space)."""
-        toks = [
-            self.decoder.get(int(i), "")
-            for i in np.asarray(ids).reshape(-1)
-        ]
+        """ids -> text, exactly HF's convert_tokens_to_string: drop
+        specials, reverse the byte->unicode map, '</w>' -> space (note:
+        like HF, punctuation decodes with a preceding space)."""
+        byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         text = "".join(
-            t for t in toks if t not in (BOS_TOKEN, EOS_TOKEN)
+            t
+            for t in (
+                self.decoder.get(int(i), "")
+                for i in np.asarray(ids).reshape(-1)
+            )
+            if t not in (BOS_TOKEN, EOS_TOKEN)
         )
-        return text.replace("</w>", " ").strip()
+        raw = bytearray(
+            byte_decoder.get(c, 0)  # 0x00 = the '</w>' placeholder
+            for c in text.replace("</w>", "\x00")
+        )
+        return (
+            raw.decode("utf-8", errors="replace")
+            .replace("\x00", " ")
+            .strip()
+        )
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         out = np.full(

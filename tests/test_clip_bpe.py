@@ -151,6 +151,11 @@ def test_vendored_assets_token_goldens():
 
 def test_decode_roundtrip():
     tok = load_default_tokenizer()
-    for text in ("a street view photo in norway.", "hello world"):
-        ids = tok.encode(text)
-        assert tok.decode(ids) == text
+    # HF convention: punctuation decodes with a preceding space
+    cases = {
+        "a street view photo in norway.": "a street view photo in norway .",
+        "hello world": "hello world",
+        "unicode caf\u00e9": "unicode caf\u00e9",
+    }
+    for text, want in cases.items():
+        assert tok.decode(tok.encode(text)) == want, text
