@@ -274,6 +274,7 @@ def tinyvit_from_timm(
 def super_guessr_head_from_reference(
     sd: Dict[str, np.ndarray],
     num_cells: Optional[int] = None,
+    num_attention_heads: int = 16,
 ) -> Dict:
     """Extract head params from a reference SuperGuessr state dict.
 
@@ -293,7 +294,7 @@ def super_guessr_head_from_reference(
         w = np.asarray(sd["self_attn.in_proj_weight"])  # (3D, D)
         b = np.asarray(sd["self_attn.in_proj_bias"])
         D = w.shape[1]
-        H = 16
+        H = num_attention_heads  # reference NUM_ATTENTION_HEADS=16
         hd = D // H
         qw, kw, vw = np.split(w, 3, axis=0)
         qb, kb, vb = np.split(b, 3, axis=0)
@@ -317,4 +318,40 @@ def merge_params(base: Dict, overlay: Dict) -> Dict:
             out[k] = merge_params(out[k], v)
         else:
             out[k] = v
+    return out
+
+
+def super_guessr_head_to_reference(
+    params: Dict, num_attention_heads: int = 16
+) -> Dict[str, np.ndarray]:
+    """Export SuperGuessr head params to the reference's state-dict
+    naming (inverse of super_guessr_head_from_reference) so models
+    trained here can be loaded by the PyTorch reference
+    (cell_layer.weight/bias, self_attn.in_proj_weight/bias,
+    self_attn.out_proj.*; super_guessr.py:89-103)."""
+    out: Dict[str, np.ndarray] = {}
+    if "cell_layer" in params:
+        k = np.asarray(params["cell_layer"]["kernel"])  # (D, num_cells)
+        out["cell_layer.weight"] = _t(k)  # (num_cells, D)
+        out["cell_layer.bias"] = np.asarray(params["cell_layer"]["bias"])
+    if "self_attn" in params:
+        sa = params["self_attn"]
+        H = num_attention_heads
+
+        def flat_qkv(name):
+            kk = np.asarray(sa[name]["kernel"])  # (D, H, hd)
+            D = kk.shape[0]
+            return _t(kk.reshape(D, D)), np.asarray(
+                sa[name]["bias"]
+            ).reshape(D)
+
+        qw, qb = flat_qkv("query")
+        kw, kb = flat_qkv("key")
+        vw, vb = flat_qkv("value")
+        out["self_attn.in_proj_weight"] = np.concatenate([qw, kw, vw], 0)
+        out["self_attn.in_proj_bias"] = np.concatenate([qb, kb, vb], 0)
+        ok = np.asarray(sa["out"]["kernel"])  # (H, hd, D)
+        D = ok.shape[-1]
+        out["self_attn.out_proj.weight"] = _t(ok.reshape(D, D))
+        out["self_attn.out_proj.bias"] = np.asarray(sa["out"]["bias"])
     return out

@@ -107,3 +107,49 @@ def test_head_conversion_applies_to_model():
     emb, logits = model.apply({"params": params}, embedding=e)
     want = np.asarray(e.mean(axis=1)) @ sd["cell_layer.weight"].T
     np.testing.assert_allclose(np.asarray(logits), want, atol=1e-5)
+
+
+def test_head_export_roundtrip():
+    """Reverse interop: head params -> reference state dict -> back
+    through the forward converter must be an identity."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models import SuperGuessr
+    from geoguessr_ai_tpu.models.torch_convert import (
+        super_guessr_head_from_reference,
+        super_guessr_head_to_reference,
+    )
+
+    model = SuperGuessr(
+        num_cells=16, backbone=None, panorama=True, hierarchical=True,
+        embed_dim=32, num_attention_heads=4, dtype=jnp.float32,
+    )
+    v = model.init(
+        jax.random.PRNGKey(0), embedding=jnp.zeros((1, 4, 32))
+    )
+    sd = super_guessr_head_to_reference(
+        v["params"], num_attention_heads=4
+    )
+    assert set(sd) == {
+        "cell_layer.weight", "cell_layer.bias",
+        "self_attn.in_proj_weight", "self_attn.in_proj_bias",
+        "self_attn.out_proj.weight", "self_attn.out_proj.bias",
+    }
+    assert sd["cell_layer.weight"].shape == (16, 32)
+    assert sd["self_attn.in_proj_weight"].shape == (96, 32)
+    back = super_guessr_head_from_reference(
+        sd, num_cells=16, num_attention_heads=4
+    )
+    for name in ("query", "key", "value", "out"):
+        for leaf in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(back["self_attn"][name][leaf]),
+                np.asarray(v["params"]["self_attn"][name][leaf]),
+                atol=1e-7,
+            )
+    np.testing.assert_allclose(
+        np.asarray(back["cell_layer"]["kernel"]),
+        np.asarray(v["params"]["cell_layer"]["kernel"]),
+        atol=1e-7,
+    )
