@@ -355,3 +355,79 @@ def super_guessr_head_to_reference(
         out["self_attn.out_proj.weight"] = _t(ok.reshape(D, D))
         out["self_attn.out_proj.bias"] = np.asarray(sa["out"]["bias"])
     return out
+
+
+def _conv_inv(w: np.ndarray) -> np.ndarray:
+    # flax (kH, kW, I, O) -> torch (O, I, kH, kW)
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def tinyvit_to_timm(
+    variables: Dict, cfg: TinyViTConfig
+) -> Dict[str, np.ndarray]:
+    """Export TinyViT params+batch_stats to a timm-format state dict —
+    the inverse of tinyvit_from_timm, so models finetuned here load into
+    timm/PyTorch (same key naming as timm tiny_vit; round-tripped in
+    tests/test_tinyvit_timm_convert.py against the in-test torch model)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_convbn(prefix: str, p: Dict, st: Dict) -> None:
+        sd[f"{prefix}.conv.weight"] = _conv_inv(
+            np.asarray(p["conv"]["kernel"])
+        )
+        sd[f"{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(st["bn"]["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(st["bn"]["var"])
+
+    def put_linear(prefix: str, p: Dict) -> None:
+        sd[f"{prefix}.weight"] = _t(np.asarray(p["kernel"]))
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_norm(prefix: str, p: Dict) -> None:
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    for c in ("conv1", "conv2"):
+        put_convbn(
+            f"patch_embed.{c}",
+            params["patch_embed"][c],
+            stats["patch_embed"][c],
+        )
+    for s_i in range(len(cfg.depths)):
+        if s_i > 0:
+            dname = f"downsample{s_i - 1}"
+            for c in ("conv1", "conv2", "conv3"):
+                put_convbn(
+                    f"stages.{s_i}.downsample.{c}",
+                    params[dname][c],
+                    stats[dname][c],
+                )
+        for b in range(cfg.depths[s_i]):
+            name = f"stage{s_i}_block{b}"
+            tpre = f"stages.{s_i}.blocks.{b}"
+            if s_i == 0:
+                for c in ("conv1", "conv2", "conv3"):
+                    put_convbn(
+                        f"{tpre}.{c}", params[name][c], stats[name][c]
+                    )
+            else:
+                blk = params[name]
+                put_norm(f"{tpre}.attn.norm", blk["attn"]["norm"])
+                put_linear(f"{tpre}.attn.qkv", blk["attn"]["qkv"])
+                put_linear(f"{tpre}.attn.proj", blk["attn"]["proj"])
+                sd[f"{tpre}.attn.attention_biases"] = np.asarray(
+                    blk["attn"]["attention_biases"]
+                )
+                put_convbn(
+                    f"{tpre}.local_conv",
+                    blk["local_conv"],
+                    stats[name]["local_conv"],
+                )
+                put_norm(f"{tpre}.mlp.norm", blk["mlp"]["norm"])
+                put_linear(f"{tpre}.mlp.fc1", blk["mlp"]["fc1"])
+                put_linear(f"{tpre}.mlp.fc2", blk["mlp"]["fc2"])
+    put_norm("head.norm", params["norm_head"])
+    return sd

@@ -396,3 +396,22 @@ def test_bias_index_matches_timm_scheme():
         np.testing.assert_array_equal(
             _relative_bias_index(w), _timm_bias_index(w)
         )
+
+
+def test_export_roundtrip_and_torch_load():
+    """tinyvit_to_timm inverts tinyvit_from_timm exactly, and its output
+    loads strict=True into the torch TinyViT with matching numerics."""
+    from geoguessr_ai_tpu.models.torch_convert import tinyvit_to_timm
+
+    sd = synthetic_timm_state_dict(CFG, seed=7)
+    converted = tinyvit_from_timm(sd, CFG)
+    exported = tinyvit_to_timm(converted, CFG)
+    assert set(exported) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(exported[k], sd[k], atol=1e-7, err_msg=k)
+
+    tm = TorchTinyViT(CFG)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in exported.items()}, strict=True
+    )
+    assert not missing and not unexpected
