@@ -153,3 +153,75 @@ def test_head_export_roundtrip():
         np.asarray(v["params"]["cell_layer"]["kernel"]),
         atol=1e-7,
     )
+
+
+def test_export_checkpoint_tool_roundtrip(tmp_path):
+    """Orbax checkpoint -> reference .pt -> loadable by the forward
+    converters (full export pipeline, tools/export_checkpoint.py)."""
+    import importlib.util
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from geoguessr_ai_tpu.models import SuperGuessr, TinyViT, TinyViTConfig
+    from geoguessr_ai_tpu.train.checkpoints import (
+        CheckpointConfig,
+        CheckpointStore,
+        load_torch_checkpoint,
+    )
+    from geoguessr_ai_tpu.train.state import create_train_state
+    from geoguessr_ai_tpu.config import OptimizerConfig
+
+    cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+    model = SuperGuessr(
+        num_cells=8, backbone=TinyViT(cfg), panorama=True,
+        embed_dim=cfg.embed_dim, dtype=jnp.float32,
+    )
+    v = model.init(
+        jax.random.PRNGKey(0),
+        pixel_values=jnp.zeros((1, 4, cfg.image_size, cfg.image_size, 3)),
+    )
+    state = create_train_state(model, v, OptimizerConfig(), 10)
+    store = CheckpointStore(CheckpointConfig(directory=str(tmp_path)))
+    store.save_epoch(jax.device_get(state), 0, 1.0, None)
+
+    spec = importlib.util.spec_from_file_location(
+        "export_checkpoint",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "export_checkpoint.py",
+        ),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    out_pt = str(tmp_path / "model.pt")
+    # test_tiny backbone -> export with its config (patch the production
+    # config lookup for the test-size tower)
+    import geoguessr_ai_tpu.models.tinyvit as tv_mod
+
+    orig = tv_mod.TinyViTConfig.tiny_vit_21m_512
+    tv_mod.TinyViTConfig.tiny_vit_21m_512 = staticmethod(
+        lambda **kw: cfg
+    )
+    try:
+        sd = tool.export(str(tmp_path / "best"), out_pt, "tinyvit", 16)
+    finally:
+        tv_mod.TinyViTConfig.tiny_vit_21m_512 = orig
+
+    assert "cell_layer.weight" in sd
+    assert any(k.startswith("base_model.backbone.") for k in sd)
+    loaded = load_torch_checkpoint(out_pt)
+    np.testing.assert_allclose(
+        loaded["cell_layer.weight"],
+        np.asarray(v["params"]["cell_layer"]["kernel"]).T,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        loaded["base_model.backbone.head.norm.weight"],
+        np.asarray(v["params"]["backbone"]["norm_head"]["scale"]),
+        atol=1e-7,
+    )
