@@ -106,6 +106,7 @@ def build_embedding_sqlite(
 
     decoded_q: "queue.Queue" = queue.Queue(maxsize=4)
     B = cfg.batch_size
+    producer_error: list = []  # surfaced to the consumer after the sentinel
 
     def producer_predecoded():
         # decode the WHOLE shard up front, then stream pure-memory batches
@@ -128,7 +129,6 @@ def build_embedding_sqlite(
             decoded_q.put(
                 (rows[start : start + B], all_imgs[start : start + B])
             )
-        decoded_q.put(None)
 
     def producer_streaming():
         import concurrent.futures as cf
@@ -162,18 +162,29 @@ def build_embedding_sqlite(
                     )
                 )
                 decoded_q.put((batch_rows, imgs))
-        decoded_q.put(None)
 
-    t = threading.Thread(
-        target=producer_predecoded if predecoded else producer_streaming,
-        daemon=True,
-    )
+    def producer():
+        # The sentinel MUST reach the queue even if decode raises on a
+        # truly corrupt blob — otherwise record_stream blocks forever on
+        # decoded_q.get() and the builder hangs instead of failing.
+        try:
+            (producer_predecoded if predecoded else producer_streaming)()
+        except BaseException as e:
+            producer_error.append(e)
+        finally:
+            decoded_q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
     t.start()
 
     def record_stream() -> Iterable[Dict]:
         while True:
             item = decoded_q.get()
             if item is None:
+                if producer_error:
+                    raise RuntimeError(
+                        "embed-builder producer failed"
+                    ) from producer_error[0]
                 break
             rows, imgs = item
             n_real = len(rows)

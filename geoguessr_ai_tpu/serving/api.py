@@ -51,10 +51,22 @@ def create_app(engine=None, backbone: str = "tinyvit",
         return state["engine"]
 
     def get_batcher():
-        if state.get("batcher") is None:
-            from geoguessr_ai_tpu.serving.engine import MicroBatcher
+        # check-then-set under the lock: two concurrent first requests must
+        # not each build a MicroBatcher (duplicate threads + split queues
+        # that never coalesce).
+        with state["lock"]:
+            if state.get("batcher") is None:
+                from geoguessr_ai_tpu.serving.engine import MicroBatcher
 
-            state["batcher"] = MicroBatcher(get_engine())
+                batcher = MicroBatcher(get_engine())
+                # Precompile every bucket size in the background so cold
+                # buckets don't pay a 4-15 min jit compile inside a
+                # request (requests queue behind the warmup compiles but
+                # predict()'s default timeout covers them).
+                threading.Thread(
+                    target=batcher.warmup, daemon=True
+                ).start()
+                state["batcher"] = batcher
         return state["batcher"]
 
     @app.get("/")

@@ -252,6 +252,7 @@ class MicroBatcher:
         max_batch: int = 16,
         max_wait_ms: float = 8.0,
         buckets: Sequence[int] = (1, 4, 8, 16),
+        predict_timeout_s: float = 1800.0,
     ):
         import queue
         import threading
@@ -261,6 +262,10 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1000.0
         self.buckets = sorted(buckets)
         assert self.max_batch <= self.buckets[-1]
+        # Default covers the worst-case cold-bucket jit compile (remote
+        # compiles through the axon relay run 4-15+ min); warmed-up
+        # deployments can tighten it.
+        self.predict_timeout_s = predict_timeout_s
         self._q: "queue.Queue" = queue.Queue()
         self._thread = None
         self._lock = threading.Lock()
@@ -326,10 +331,12 @@ class MicroBatcher:
         self,
         views_u8: np.ndarray,
         view_mask: Optional[np.ndarray] = None,
-        timeout: float = 60.0,
+        timeout: Optional[float] = None,
     ) -> InferenceResult:
         """Blocking single-panorama predict: (V, H, W, 3) uint8 ->
-        InferenceResult, batched with concurrent callers."""
+        InferenceResult, batched with concurrent callers.  ``timeout``
+        defaults to ``predict_timeout_s`` (sized for cold-bucket jit
+        compiles; see warmup())."""
         import concurrent.futures
 
         self._ensure_thread()
@@ -337,4 +344,6 @@ class MicroBatcher:
             view_mask = np.ones((views_u8.shape[0],), np.float32)
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
         self._q.put((fut, views_u8, np.asarray(view_mask, np.float32)))
-        return fut.result(timeout=timeout)
+        return fut.result(
+            timeout=self.predict_timeout_s if timeout is None else timeout
+        )

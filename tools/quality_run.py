@@ -140,7 +140,10 @@ def evaluate_with_refiner(coord, cfg, table, train_df, val_df, ckpt_dir):
         )
         emb = emb.astype(jnp.float32)
         if emb.ndim == 3:  # per-view (B, V, D) -> fused query embedding
-            emb = emb.mean(axis=1)
+            # Mask-weighted mean to match SuperGuessr's masked view fusion
+            # (plain mean diverges when a panorama has <4 real views).
+            m = mask.astype(jnp.float32)[..., None]
+            emb = (emb * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
         return emb, lnglat, topk.values, topk.indices
 
     def run_split(df):
