@@ -57,15 +57,28 @@ class TinyViTConfig:
     #: checkpointing): trades ~30% more FLOPs for O(depth) less activation
     #: memory, enabling larger train batches.
     remat: bool = False
+    #: Legacy alias: True selects quant_mode="dynamic" (kept for
+    #: checkpoint/config back-compat; prefer quant_mode).
+    quantize_gemms: bool = False
     #: int8 GEMM path (ops/quant.py) for the pointwise convs, qkv/proj
     #: and MLP matmuls — inference-only; accuracy gated in
-    #: tests/test_quant.py (cosine > 0.99 vs bf16 on fixtures).
-    #: MEASURED (v5e): NOT adopted — at B=320 the int8 variant OOMs at
-    #: compile (the quant epilogues around the qkv projection break the
-    #: score-dot fusion, materializing the f32 (320,12,1024,1024) score
-    #: tensor XLA otherwise windows away); needs producer-fused
-    #: quantization.  Opt-in.
-    quantize_gemms: bool = False
+    #: tests/test_quant.py.
+    #:   "none"      bf16 GEMMs (default).
+    #:   "dynamic"   per-row activation abs-max in-graph.  MEASURED
+    #:               (v5e): NOT adopted — at B=320 it OOMs at compile
+    #:               (the abs-max reduce around the qkv projection breaks
+    #:               the score-dot fusion, materializing the f32
+    #:               (320,12,1024,1024) score tensor XLA otherwise
+    #:               windows away).
+    #:   "static"    scales calibrated OFFLINE (a "calibrate" forward
+    #:               accumulates per-site activation abs-max into the
+    #:               'act_stats' collection; pass that tree back as
+    #:               'act_scales').  Quantize is then elementwise — no
+    #:               data-dependent reduce — so the program keeps the
+    #:               bf16 fusion structure with int8 dots.
+    #:   "calibrate" exact bf16 forward that records per-site abs-max
+    #:               (run with mutable=['act_stats']).
+    quant_mode: str = "none"
     #: Per-stage fused Pallas window attention (ops/window_attention.py,
     #: qkv-fused kernel — QKV_KERNEL_MIN_N).  MEASURED e2e @ B=320 bf16
     #: (round 2): stages (1,) 734, (1, 3) 742 img/s vs 705 for round 1's
@@ -104,6 +117,53 @@ class TinyViTConfig:
     def embed_dim(self) -> int:
         return self.embed_dims[-1]
 
+    @property
+    def effective_quant_mode(self) -> str:
+        if self.quant_mode != "none":
+            return self.quant_mode
+        return "dynamic" if self.quantize_gemms else "none"
+
+
+def _quant_gemm(mdl, x, kernel, bias, dtype, quant: str, name: str):
+    """'...c,cd->...d' GEMM dispatch shared by every quantizable site.
+
+    quant is one of "none"/"dynamic"/"static"/"calibrate" (see
+    TinyViTConfig.quant_mode).  "calibrate" records the activation
+    abs-max under the 'act_stats' collection (running max across
+    batches) and runs the exact bf16 GEMM; "static" reads the same leaf
+    from 'act_scales'.
+    """
+    if quant == "dynamic":
+        from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
+
+        return int8_einsum_nc_cd(x, kernel, bias=bias, out_dtype=dtype)
+    if quant == "calibrate":
+        stat = mdl.variable(
+            "act_stats", name, lambda: jnp.zeros((), jnp.float32)
+        )
+        if not mdl.is_initializing():
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+    elif quant == "static":
+        from geoguessr_ai_tpu.ops.quant import int8_static_einsum_nc_cd
+
+        amax = mdl.variable(
+            "act_scales", name, lambda: jnp.full((), 127.0, jnp.float32)
+        )
+        return int8_static_einsum_nc_cd(
+            x, kernel, amax.value, bias=bias, out_dtype=dtype
+        )
+    y = jnp.einsum(
+        "...c,cd->...d",
+        x,
+        kernel.astype(dtype),
+        preferred_element_type=dtype,
+    )
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
 
 class _PointwiseConv(nn.Module):
     """1x1 conv lowered to an einsum matmul.
@@ -117,7 +177,7 @@ class _PointwiseConv(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -128,17 +188,8 @@ class _PointwiseConv(nn.Module):
             (1, 1, cin, self.features),
             jnp.float32,
         )
-        if self.quantize:
-            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
-
-            return int8_einsum_nc_cd(
-                x, kernel[0, 0], out_dtype=self.dtype
-            )
-        return jnp.einsum(
-            "...c,cd->...d",
-            x,
-            kernel[0, 0].astype(self.dtype),
-            preferred_element_type=self.dtype,
+        return _quant_gemm(
+            self, x, kernel[0, 0], None, self.dtype, self.quant, "in_amax"
         )
 
 
@@ -198,7 +249,7 @@ class ConvBN(nn.Module):
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.bfloat16
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -206,7 +257,7 @@ class ConvBN(nn.Module):
             x = _PointwiseConv(
                 self.features,
                 dtype=self.dtype,
-                quantize=self.quantize,
+                quant=self.quant,
                 name="conv",
             )(x)
         elif (
@@ -263,14 +314,14 @@ class MBConv(nn.Module):
     drop_path: float
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool):
         hidden = int(x.shape[-1] * self.expand_ratio)
         shortcut = x
         x = ConvBN(
-            hidden, 1, dtype=self.dtype, quantize=self.quantize, name="conv1"
+            hidden, 1, dtype=self.dtype, quant=self.quant, name="conv1"
         )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
@@ -281,7 +332,7 @@ class MBConv(nn.Module):
             self.features,
             1,
             dtype=self.dtype,
-            quantize=self.quantize,
+            quant=self.quant,
             name="conv3",
         )(x, train)
         x = DropPath(self.drop_path)(x, deterministic=not train)
@@ -312,12 +363,12 @@ class PatchMerging(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = ConvBN(
-            self.features, 1, dtype=self.dtype, quantize=self.quantize,
+            self.features, 1, dtype=self.dtype, quant=self.quant,
             name="conv1",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
@@ -331,7 +382,7 @@ class PatchMerging(nn.Module):
         )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
-            self.features, 1, dtype=self.dtype, quantize=self.quantize,
+            self.features, 1, dtype=self.dtype, quant=self.quant,
             name="conv3",
         )(x, train)
         return x
@@ -383,7 +434,7 @@ class WindowAttention(nn.Module):
     window: int
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -432,26 +483,16 @@ class WindowAttention(nn.Module):
                 window_attention_qkv,
             )
 
-            qkv = (
-                jnp.einsum(
-                    "bnc,ck->bnk",
-                    x,
-                    qkv_kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype,
-                )
-                + qkv_bias.astype(self.dtype)
+            qkv = _quant_gemm(
+                self, x, qkv_kernel, qkv_bias, self.dtype, self.quant,
+                "qkv_in_amax",
             )
             out = window_attention_qkv(
                 qkv, attn_bias, scale, self.num_heads
             )
-            return (
-                jnp.einsum(
-                    "bnd,dc->bnc",
-                    out,
-                    proj_kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype,
-                )
-                + proj_bias.astype(self.dtype)
+            return _quant_gemm(
+                self, out, proj_kernel, proj_bias, self.dtype, self.quant,
+                "proj_in_amax",
             )
 
         if self.use_pallas and N % 128 == 0:
@@ -509,22 +550,10 @@ class WindowAttention(nn.Module):
                 + proj_bias.astype(self.dtype)
             )
 
-        if self.quantize:
-            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
-
-            qkv = int8_einsum_nc_cd(
-                x, qkv_kernel, bias=qkv_bias, out_dtype=self.dtype
-            )
-        else:
-            qkv = (
-                jnp.einsum(
-                    "bnc,ck->bnk",
-                    x,
-                    qkv_kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype,
-                )
-                + qkv_bias.astype(self.dtype)
-            )
+        qkv = _quant_gemm(
+            self, x, qkv_kernel, qkv_bias, self.dtype, self.quant,
+            "qkv_in_amax",
+        )
         qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
         # Plain f32-scores XLA attention.  A bf16 score-storage variant
@@ -545,20 +574,9 @@ class WindowAttention(nn.Module):
         # straightforward form stays.
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, N, self.dim)
-        if self.quantize:
-            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
-
-            return int8_einsum_nc_cd(
-                out, proj_kernel, bias=proj_bias, out_dtype=self.dtype
-            )
-        return (
-            jnp.einsum(
-                "bnd,dc->bnc",
-                out,
-                proj_kernel.astype(self.dtype),
-                preferred_element_type=self.dtype,
-            )
-            + proj_bias.astype(self.dtype)
+        return _quant_gemm(
+            self, out, proj_kernel, proj_bias, self.dtype, self.quant,
+            "proj_in_amax",
         )
 
 
@@ -569,26 +587,22 @@ class Mlp(nn.Module):
     out: int
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
-        if self.quantize:
-            from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
-
-            fc1_k, fc1_b = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
-            fc2_k, fc2_b = _DenseParams(self.out, name="fc2")(self.hidden)
-            x = int8_einsum_nc_cd(x, fc1_k, bias=fc1_b, out_dtype=self.dtype)
-            x = _gelu(x, self.exact_gelu)
-            return int8_einsum_nc_cd(
-                x, fc2_k, bias=fc2_b, out_dtype=self.dtype
-            )
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        fc1_k, fc1_b = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
+        fc2_k, fc2_b = _DenseParams(self.out, name="fc2")(self.hidden)
+        x = _quant_gemm(
+            self, x, fc1_k, fc1_b, self.dtype, self.quant, "fc1_in_amax"
+        )
         x = _gelu(x, self.exact_gelu)
-        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return _quant_gemm(
+            self, x, fc2_k, fc2_b, self.dtype, self.quant, "fc2_in_amax"
+        )
 
 
 def window_partition(x: jax.Array, window: int) -> jax.Array:
@@ -621,7 +635,7 @@ class TinyViTBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
     use_pallas_attention: bool = False
-    quantize: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -637,7 +651,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
-                quantize=self.quantize,
+                quant=self.quant,
                 name="attn",
             )(tokens)
             attn_out = tokens.reshape(B, H, W, C)
@@ -652,7 +666,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
-                quantize=self.quantize,
+                quant=self.quant,
                 name="attn",
             )(windows)
             attn_out = window_unpartition(windows, w, (H + pad_h, W + pad_w))
@@ -668,7 +682,7 @@ class TinyViTBlock(nn.Module):
             self.dim,
             dtype=self.dtype,
             exact_gelu=self.exact_gelu,
-            quantize=self.quantize,
+            quant=self.quant,
             name="mlp",
         )(x.reshape(B, H * W, C)).reshape(B, H, W, C)
         return x + DropPath(self.drop_path)(mlp_out, deterministic=not train)
@@ -689,6 +703,7 @@ class TinyViT(nn.Module):
         # window_attention selects Pallas-vs-XLA per lowering platform
         # (lax.platform_dependent), so no device check is needed here.
         pallas_stages = cfg.pallas_attention_stages
+        quant_mode = cfg.effective_quant_mode
 
         # Per-block stochastic-depth schedule (linear ramp, timm convention).
         total_blocks = sum(cfg.depths)
@@ -717,7 +732,7 @@ class TinyViT(nn.Module):
                         dpr[block_idx],
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
-                        quantize=cfg.quantize_gemms,
+                        quant=quant_mode,
                         name=f"stage0_block{d}",
                     )(x, train)
                     block_idx += 1
@@ -732,7 +747,7 @@ class TinyViT(nn.Module):
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
                         use_pallas_attention=stage in pallas_stages,
-                        quantize=cfg.quantize_gemms,
+                        quant=quant_mode,
                         name=f"stage{stage}_block{d}",
                     )(x, train)
                     block_idx += 1
@@ -741,7 +756,7 @@ class TinyViT(nn.Module):
                     cfg.embed_dims[stage + 1],
                     dtype=dtype,
                     exact_gelu=cfg.exact_gelu,
-                    quantize=cfg.quantize_gemms,
+                    quant=quant_mode,
                     name=f"downsample{stage}",
                 )(x, train)
 

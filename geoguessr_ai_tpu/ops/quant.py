@@ -84,6 +84,74 @@ def int8_matmul(
     return y.astype(out_dtype)
 
 
+def int8_static_matmul(
+    x: jax.Array,
+    w: jax.Array,
+    amax: jax.Array,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """y = x @ w (+ bias) with a STATIC-calibrated activation scale.
+
+    ``amax`` is the calibrated abs-max of the activation tensor (f32
+    scalar, observed offline on calibration batches).  The quantize step
+    is then a pure elementwise op with NO data-dependent reduce — it
+    fuses into the producer's epilogue, so the program keeps the bf16
+    path's fusion structure with int8 dots.  This is the fix for the two
+    measured failure modes of the dynamic path (docs/performance.md):
+    the extra abs-max HBM pass per GEMM, and the broken score-dot fusion
+    that OOM'd TinyViT at B=320.
+    """
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    wq, ws = quantize_symmetric(w.astype(jnp.float32), axis=1)  # (1, N)
+    y = jax.lax.dot_general(
+        xq,
+        wq,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (scale * ws.reshape(-1))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def int8_static_einsum_nc_cd(
+    x: jax.Array,
+    w: jax.Array,
+    amax: jax.Array,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """'...c,cd->...d' on the static-calibrated int8 path."""
+    lead = x.shape[:-1]
+    y = int8_static_matmul(
+        x.reshape(-1, x.shape[-1]), w, amax, bias=bias, out_dtype=out_dtype
+    )
+    return y.reshape(*lead, w.shape[-1])
+
+
+def calibrate_act_stats(apply_calibrate, variables, batches) -> dict:
+    """Accumulate per-site activation abs-max over calibration batches.
+
+    ``apply_calibrate(variables, x)`` must run a quant_mode='calibrate'
+    forward with ``mutable=['act_stats']`` and return ``(out, mutated)``.
+    Returns the accumulated 'act_stats' tree — pass it to the static
+    model as the 'act_scales' collection.
+    """
+    stats: dict = {}
+    for x in batches:
+        v = dict(variables)
+        if stats:
+            v["act_stats"] = stats
+        _, mutated = apply_calibrate(v, x)
+        stats = mutated["act_stats"]
+    return stats
+
+
 def int8_einsum_nc_cd(
     x: jax.Array,
     w: jax.Array,

@@ -74,6 +74,49 @@ def test_tinyvit_int8_cosine_gate_on_fixtures():
     assert c.min() > 0.99, c
 
 
+def test_tinyvit_static_int8_calibrate_then_gate():
+    """Static-calibrated path (round-3 VERDICT #1): a 'calibrate' forward
+    is numerically EXACT vs bf16 and records per-site abs-max; the
+    'static' forward using those scales passes the cosine gate with no
+    in-graph data-dependent reduction."""
+    import dataclasses
+
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+    from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+    cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+    model = TinyViT(cfg)
+    model_cal = TinyViT(dataclasses.replace(cfg, quant_mode="calibrate"))
+    model_q = TinyViT(dataclasses.replace(cfg, quant_mode="static"))
+    x = _fixture_batch(cfg.image_size)
+    v = model.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(model.apply(v, x))
+
+    out_cal, mut = model_cal.apply(v, x, mutable=["act_stats"])
+    np.testing.assert_allclose(np.asarray(out_cal), a, rtol=1e-6)
+    stats = calibrate_act_stats(
+        lambda vv, xx: model_cal.apply(vv, xx, mutable=["act_stats"]),
+        v,
+        [x, x * 0.5],
+    )
+    leaves = jax.tree_util.tree_leaves(stats)
+    assert leaves and all(float(s) > 0 for s in leaves)
+
+    b = np.asarray(model_q.apply({**v, "act_scales": stats}, x))
+    c = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert c.min() > 0.99, c
+
+    # uncalibrated static init must still run (default scale) and the
+    # param tree must be unchanged vs the bf16 model
+    vq = model_q.init(jax.random.PRNGKey(0), x)
+    assert set(vq) >= {"params", "act_scales"}
+    assert jax.tree_util.tree_structure(
+        vq["params"]
+    ) == jax.tree_util.tree_structure(v["params"])
+
+
 def test_clip_int8_cosine_gate_on_fixtures():
     import dataclasses
 
