@@ -102,6 +102,20 @@ class TinyViTConfig:
         )
 
     @staticmethod
+    def tiny_vit_5m_224(**overrides) -> "TinyViTConfig":
+        """timm ``tiny_vit_5m_224`` geometry — the reference finetune
+        pipeline's default backbone
+        (/root/reference/finetune_tinyvit/train_tinyvit_timm.py:122)."""
+        return TinyViTConfig(
+            image_size=224,
+            embed_dims=(64, 128, 160, 320),
+            depths=(2, 2, 6, 2),
+            num_heads=(2, 4, 5, 10),
+            window_sizes=(7, 7, 14, 7),
+            **overrides,
+        )
+
+    @staticmethod
     def test_tiny(**overrides) -> "TinyViTConfig":
         """Miniature config for fast CPU tests."""
         return TinyViTConfig(

@@ -102,7 +102,9 @@ def finetune(
     from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
     from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
 
-    tv_cfg = tinyvit_config or TinyViTConfig.tiny_vit_21m_512()
+    # Reference default backbone: timm tiny_vit_5m_224
+    # (train_tinyvit_timm.py:122,156).
+    tv_cfg = tinyvit_config or TinyViTConfig.tiny_vit_5m_224()
 
     class Classifier(nn.Module):
         @nn.compact
@@ -274,7 +276,9 @@ def extract_embeddings_parquet(
     from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
     from geoguessr_ai_tpu.ops.preprocess import fused_preprocess
 
-    tv_cfg = tinyvit_config or TinyViTConfig.tiny_vit_21m_512()
+    # Reference default backbone: timm tiny_vit_5m_224
+    # (train_tinyvit_timm.py:122,156).
+    tv_cfg = tinyvit_config or TinyViTConfig.tiny_vit_5m_224()
     model = TinyViT(tv_cfg)
     if params is None:
         variables = model.init(

@@ -387,6 +387,50 @@ def test_numerical_parity_full_forward():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)
 
 
+def test_numerical_parity_5m_224_geometry():
+    """Converter parity at the reference finetune pipeline's default
+    backbone geometry, timm tiny_vit_5m_224
+    (/root/reference/finetune_tinyvit/train_tinyvit_timm.py:122) —
+    full-size weights, one forward, strict export round-trip."""
+    from geoguessr_ai_tpu.models.torch_convert import tinyvit_to_timm
+
+    cfg = TinyViTConfig.tiny_vit_5m_224(dtype=jnp.float32, exact_gelu=True)
+    sd = synthetic_timm_state_dict(cfg, seed=3)
+
+    tm = TorchTinyViT(cfg)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    tm.eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (1, cfg.image_size, cfg.image_size, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+    converted = tinyvit_from_timm(sd, cfg)
+    out = np.asarray(
+        TinyViT(cfg).apply(
+            {
+                "params": converted["params"],
+                "batch_stats": converted["batch_stats"],
+            },
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    assert out.shape == ref.shape == (1, 320)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)
+
+    exported = tinyvit_to_timm(converted, cfg)
+    assert set(exported) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(exported[k], sd[k])
+
+
 def test_bias_index_matches_timm_scheme():
     """Our sorted-unique bias indexing must equal timm's dict-insertion
     indexing for every window size used by the 21m/512 config."""
