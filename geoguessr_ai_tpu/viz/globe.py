@@ -480,3 +480,118 @@ def visualize_finished_geocells(
     return write_globe_html(
         layers, out_path, title="finished geocells"
     )
+
+
+def load_point_set(path: str):
+    """(N, 2) lat/lng from either the acquisition pipeline's JSON point
+    lists ([{"lat": .., "lon"/"lng": ..}, ...] — reference
+    src/point_visualization/visualize_sv_points.py:23-28) or the
+    'lat, lng'-per-line txt ledgers (load_sv_points)."""
+    import numpy as np
+
+    if path.endswith(".json"):
+        with open(path) as f:
+            points = json.load(f)
+        latlng = [
+            (float(p["lat"]), float(p.get("lon", p.get("lng"))))
+            for p in points
+        ]
+        if not latlng:
+            raise ValueError(f"no points in {path}")
+        return np.asarray(latlng, float)
+    return load_sv_points(path)
+
+
+def _point_set_layer(layer_id: str, latlng, color: List[int]) -> Dict:
+    return {
+        "type": "ScatterplotLayer",
+        "id": layer_id,
+        "data": [
+            {"position": [float(lng), float(lat)]} for lat, lng in latlng
+        ],
+        "props": {
+            "radiusMinPixels": 2,
+            "getFillColor": color,
+            "opacity": 0.8,
+        },
+        "accessors": {"getPosition": "position"},
+    }
+
+
+def create_sv_points_map(
+    input_file: str = "data/out/sv_points.json",
+    candidate_file: str = "data/out/candidate_points.json",
+    output_file: str = "data/out/sv_points_map.html",
+) -> Optional[str]:
+    """Map of sampled Street View points, with the candidate-set success
+    rate in the title when the candidate file exists (reference
+    src/point_visualization/visualize_sv_points.py:11-49).  Returns the
+    written path, or None when the input is missing (the reference
+    prints and returns)."""
+    if not os.path.exists(input_file):
+        print(f"Error: {input_file} not found! Run the sampling script first.")
+        return None
+    sv = load_point_set(input_file)
+    title = f"{len(sv):,} Street View points"
+    if candidate_file and os.path.exists(candidate_file):
+        n_cand = len(load_point_set(candidate_file))
+        if n_cand:
+            title += f" · success rate {len(sv) / n_cand * 100:.1f}%"
+    center = sv.mean(axis=0)
+    return write_globe_html(
+        [_point_set_layer("sv-points", sv, [255, 120, 0, 220])],
+        output_file,
+        title=title,
+        view_state={
+            "longitude": float(center[1]),
+            "latitude": float(center[0]),
+            "zoom": 3.0,
+        },
+    )
+
+
+def create_comparison_map(
+    candidate_file: str = "data/out/candidate_points.json",
+    sv_file: str = "data/out/sv_points.json",
+    output_file: str = "data/out/comparison_map.html",
+) -> Optional[str]:
+    """Overlay candidate points (blue) vs verified Street View points
+    (orange) to show where sampling succeeds (reference
+    src/point_visualization/compare_point.py:11-78; same legend colors
+    #3388ff / #ff7800).  Returns the written path, or None when neither
+    input exists."""
+    import numpy as np
+
+    candidates = (
+        load_point_set(candidate_file)
+        if candidate_file and os.path.exists(candidate_file)
+        else np.zeros((0, 2))
+    )
+    sv = (
+        load_point_set(sv_file)
+        if sv_file and os.path.exists(sv_file)
+        else np.zeros((0, 2))
+    )
+    if not len(candidates) and not len(sv):
+        print("No data files found. Run the sampling script first.")
+        return None
+    rate = len(sv) / len(candidates) * 100 if len(candidates) else 0.0
+    allpts = np.concatenate([candidates, sv]) if len(candidates) else sv
+    center = allpts.mean(axis=0)
+    layers = [
+        _point_set_layer("candidate-points", candidates, [51, 136, 255, 160]),
+        _point_set_layer("sv-points", sv, [255, 120, 0, 220]),
+    ]
+    return write_globe_html(
+        layers,
+        output_file,
+        title=(
+            f"{len(candidates):,} candidates vs {len(sv):,} SV points "
+            f"· success rate {rate:.1f}%"
+        ),
+        view_state={
+            "longitude": float(center[1]),
+            "latitude": float(center[0]),
+            "zoom": 3.0,
+        },
+    )

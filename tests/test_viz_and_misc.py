@@ -210,3 +210,45 @@ def test_visualize_finished_geocells(tmp_path):
     assert parse_indices_column("[3, 4]") == [3, 4]
     assert parse_indices_column("7") == [7]
     assert parse_indices_column("") == []
+
+
+def test_create_sv_points_map(tmp_path):
+    """Reference src/point_visualization/visualize_sv_points.py:11 —
+    point map with candidate success rate; None on missing input."""
+    from geoguessr_ai_tpu.viz.globe import create_sv_points_map
+
+    sv = [{"lat": 59.9, "lon": 10.7}, {"lat": 63.4, "lon": 10.4}]
+    cand = [{"lat": 59.9, "lng": 10.7}, {"lat": 60.0, "lng": 9.0},
+            {"lat": 61.0, "lng": 8.0}, {"lat": 62.0, "lng": 7.0}]
+    svp, cp = tmp_path / "sv.json", tmp_path / "cand.json"
+    svp.write_text(json.dumps(sv))
+    cp.write_text(json.dumps(cand))
+    out = create_sv_points_map(str(svp), str(cp), str(tmp_path / "m.html"))
+    html = open(out).read()
+    assert "2" in html and "50.0%" in html  # 2/4 success rate in title
+    assert "ScatterplotLayer" in html
+
+    assert create_sv_points_map(
+        str(tmp_path / "missing.json"), str(cp), str(tmp_path / "x.html")
+    ) is None
+
+
+def test_create_comparison_map(tmp_path):
+    """Reference src/point_visualization/compare_point.py:11 — overlay of
+    candidate vs verified points; accepts txt ledgers too."""
+    from geoguessr_ai_tpu.viz.globe import create_comparison_map
+
+    svp, cp = tmp_path / "sv.txt", tmp_path / "cand.json"
+    svp.write_text("59.9, 10.7\nbad line\n63.4, 10.4\n")
+    cp.write_text(json.dumps(
+        [{"lat": 59.9, "lon": 10.7}, {"lat": 60.0, "lon": 9.0}]
+    ))
+    out = create_comparison_map(str(cp), str(svp), str(tmp_path / "c.html"))
+    html = open(out).read()
+    assert "candidate-points" in html and "sv-points" in html
+    assert "100.0%" in html  # 2 sv / 2 candidates
+
+    assert create_comparison_map(
+        str(tmp_path / "no1.json"), str(tmp_path / "no2.json"),
+        str(tmp_path / "c2.html"),
+    ) is None

@@ -266,6 +266,20 @@ def cmd_visualize_finished(args):
     )
 
 
+def cmd_visualize_sv_points(args):
+    from geoguessr_ai_tpu.viz.globe import create_sv_points_map
+
+    out = create_sv_points_map(args.points, args.candidates, args.out)
+    print(out or "no input")
+
+
+def cmd_compare_points(args):
+    from geoguessr_ai_tpu.viz.globe import create_comparison_map
+
+    out = create_comparison_map(args.candidates, args.points, args.out)
+    print(out or "no input")
+
+
 def cmd_naive(args):
     from geoguessr_ai_tpu.geocells.naive_cell import partition
 
@@ -354,6 +368,26 @@ def main() -> None:
         "--out", default="data/out/finished_geocells_globe.html"
     )
     vf.set_defaults(fn=cmd_visualize_finished)
+
+    vs = sub.add_parser(
+        "visualize-sv-points",
+        help="map of sampled SV points (reference "
+        "src/point_visualization/visualize_sv_points.py)",
+    )
+    vs.add_argument("--points", default="data/out/sv_points.json")
+    vs.add_argument("--candidates", default="data/out/candidate_points.json")
+    vs.add_argument("--out", default="data/out/sv_points_map.html")
+    vs.set_defaults(fn=cmd_visualize_sv_points)
+
+    cp = sub.add_parser(
+        "compare-points",
+        help="candidates vs verified SV points overlay (reference "
+        "src/point_visualization/compare_point.py)",
+    )
+    cp.add_argument("--points", default="data/out/sv_points.json")
+    cp.add_argument("--candidates", default="data/out/candidate_points.json")
+    cp.add_argument("--out", default="data/out/comparison_map.html")
+    cp.set_defaults(fn=cmd_compare_points)
 
     sg = sub.add_parser("show-gadm")
     sg.add_argument("--gadm", required=True)
