@@ -79,6 +79,15 @@ class TinyViTConfig:
     #:   "calibrate" exact bf16 forward that records per-site abs-max
     #:               (run with mutable=['act_stats']).
     quant_mode: str = "none"
+    #: Which GEMM sites the int8 path applies to ("conv" = pointwise
+    #: convs, "qkv"/"proj" = attention projections, "fc1"/"fc2" = MLP).
+    #: Used to bisect the terminal-side compile failures full-int8
+    #: programs hit in this environment, and to exclude sites where int8
+    #: measures slower.
+    quant_sites: Tuple[str, ...] = ("conv", "qkv", "proj", "fc1", "fc2")
+    #: Which stages quantize (0 = MBConv stage; patch-embed/downsample
+    #: convs follow the stage they feed).
+    quant_stages: Tuple[int, ...] = (0, 1, 2, 3)
     #: Per-stage fused Pallas window attention (ops/window_attention.py,
     #: qkv-fused kernel — QKV_KERNEL_MIN_N).  MEASURED e2e @ B=320 bf16
     #: (round 2): stages (1,) 734, (1, 3) 742 img/s vs 705 for round 1's
@@ -138,15 +147,25 @@ class TinyViTConfig:
         return "dynamic" if self.quantize_gemms else "none"
 
 
-def _quant_gemm(mdl, x, kernel, bias, dtype, quant: str, name: str):
+_ALL_QUANT_SITES = ("conv", "qkv", "proj", "fc1", "fc2")
+
+
+def _quant_gemm(
+    mdl, x, kernel, bias, dtype, quant: str, name: str,
+    site: str = "conv", sites: Tuple[str, ...] = _ALL_QUANT_SITES,
+):
     """'...c,cd->...d' GEMM dispatch shared by every quantizable site.
 
     quant is one of "none"/"dynamic"/"static"/"calibrate" (see
     TinyViTConfig.quant_mode).  "calibrate" records the activation
     abs-max under the 'act_stats' collection (running max across
     batches) and runs the exact bf16 GEMM; "static" reads the same leaf
-    from 'act_scales'.
+    from 'act_scales'.  ``site`` must be in ``sites`` for the int8 modes
+    to engage (calibration always records, so one calibration serves any
+    site subset).
     """
+    if quant in ("dynamic", "static") and site not in sites:
+        quant = "none"
     if quant == "dynamic":
         from geoguessr_ai_tpu.ops.quant import int8_einsum_nc_cd
 
@@ -192,6 +211,7 @@ class _PointwiseConv(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x):
@@ -203,7 +223,8 @@ class _PointwiseConv(nn.Module):
             jnp.float32,
         )
         return _quant_gemm(
-            self, x, kernel[0, 0], None, self.dtype, self.quant, "in_amax"
+            self, x, kernel[0, 0], None, self.dtype, self.quant, "in_amax",
+            site="conv", sites=self.quant_sites,
         )
 
 
@@ -264,6 +285,7 @@ class ConvBN(nn.Module):
     groups: int = 1
     dtype: Any = jnp.bfloat16
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -271,7 +293,7 @@ class ConvBN(nn.Module):
             x = _PointwiseConv(
                 self.features,
                 dtype=self.dtype,
-                quant=self.quant,
+                quant=self.quant, quant_sites=self.quant_sites,
                 name="conv",
             )(x)
         elif (
@@ -329,13 +351,14 @@ class MBConv(nn.Module):
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x, train: bool):
         hidden = int(x.shape[-1] * self.expand_ratio)
         shortcut = x
         x = ConvBN(
-            hidden, 1, dtype=self.dtype, quant=self.quant, name="conv1"
+            hidden, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites, name="conv1"
         )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
@@ -346,7 +369,7 @@ class MBConv(nn.Module):
             self.features,
             1,
             dtype=self.dtype,
-            quant=self.quant,
+            quant=self.quant, quant_sites=self.quant_sites,
             name="conv3",
         )(x, train)
         x = DropPath(self.drop_path)(x, deterministic=not train)
@@ -378,11 +401,12 @@ class PatchMerging(nn.Module):
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = ConvBN(
-            self.features, 1, dtype=self.dtype, quant=self.quant,
+            self.features, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites,
             name="conv1",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
@@ -396,7 +420,7 @@ class PatchMerging(nn.Module):
         )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
-            self.features, 1, dtype=self.dtype, quant=self.quant,
+            self.features, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites,
             name="conv3",
         )(x, train)
         return x
@@ -449,6 +473,7 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x):
@@ -499,14 +524,14 @@ class WindowAttention(nn.Module):
 
             qkv = _quant_gemm(
                 self, x, qkv_kernel, qkv_bias, self.dtype, self.quant,
-                "qkv_in_amax",
+                "qkv_in_amax", site="qkv", sites=self.quant_sites,
             )
             out = window_attention_qkv(
                 qkv, attn_bias, scale, self.num_heads
             )
             return _quant_gemm(
                 self, out, proj_kernel, proj_bias, self.dtype, self.quant,
-                "proj_in_amax",
+                "proj_in_amax", site="proj", sites=self.quant_sites,
             )
 
         if self.use_pallas and N % 128 == 0:
@@ -566,7 +591,7 @@ class WindowAttention(nn.Module):
 
         qkv = _quant_gemm(
             self, x, qkv_kernel, qkv_bias, self.dtype, self.quant,
-            "qkv_in_amax",
+            "qkv_in_amax", site="qkv", sites=self.quant_sites,
         )
         qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
@@ -590,7 +615,7 @@ class WindowAttention(nn.Module):
         out = out.reshape(B, N, self.dim)
         return _quant_gemm(
             self, out, proj_kernel, proj_bias, self.dtype, self.quant,
-            "proj_in_amax",
+            "proj_in_amax", site="proj", sites=self.quant_sites,
         )
 
 
@@ -602,6 +627,7 @@ class Mlp(nn.Module):
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x):
@@ -611,11 +637,13 @@ class Mlp(nn.Module):
         fc1_k, fc1_b = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
         fc2_k, fc2_b = _DenseParams(self.out, name="fc2")(self.hidden)
         x = _quant_gemm(
-            self, x, fc1_k, fc1_b, self.dtype, self.quant, "fc1_in_amax"
+            self, x, fc1_k, fc1_b, self.dtype, self.quant, "fc1_in_amax",
+            site="fc1", sites=self.quant_sites,
         )
         x = _gelu(x, self.exact_gelu)
         return _quant_gemm(
-            self, x, fc2_k, fc2_b, self.dtype, self.quant, "fc2_in_amax"
+            self, x, fc2_k, fc2_b, self.dtype, self.quant, "fc2_in_amax",
+            site="fc2", sites=self.quant_sites,
         )
 
 
@@ -650,6 +678,7 @@ class TinyViTBlock(nn.Module):
     exact_gelu: bool = False
     use_pallas_attention: bool = False
     quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -665,7 +694,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
-                quant=self.quant,
+                quant=self.quant, quant_sites=self.quant_sites,
                 name="attn",
             )(tokens)
             attn_out = tokens.reshape(B, H, W, C)
@@ -680,7 +709,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
-                quant=self.quant,
+                quant=self.quant, quant_sites=self.quant_sites,
                 name="attn",
             )(windows)
             attn_out = window_unpartition(windows, w, (H + pad_h, W + pad_w))
@@ -696,7 +725,7 @@ class TinyViTBlock(nn.Module):
             self.dim,
             dtype=self.dtype,
             exact_gelu=self.exact_gelu,
-            quant=self.quant,
+            quant=self.quant, quant_sites=self.quant_sites,
             name="mlp",
         )(x.reshape(B, H * W, C)).reshape(B, H, W, C)
         return x + DropPath(self.drop_path)(mlp_out, deterministic=not train)
@@ -718,6 +747,15 @@ class TinyViT(nn.Module):
         # (lax.platform_dependent), so no device check is needed here.
         pallas_stages = cfg.pallas_attention_stages
         quant_mode = cfg.effective_quant_mode
+
+        def stage_quant(stage: int) -> str:
+            # calibration always records every site; the int8 modes honor
+            # the quant_stages mask
+            if quant_mode in ("static", "dynamic") and (
+                stage not in cfg.quant_stages
+            ):
+                return "none"
+            return quant_mode
 
         # Per-block stochastic-depth schedule (linear ramp, timm convention).
         total_blocks = sum(cfg.depths)
@@ -746,7 +784,8 @@ class TinyViT(nn.Module):
                         dpr[block_idx],
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
-                        quant=quant_mode,
+                        quant=stage_quant(0),
+                        quant_sites=cfg.quant_sites,
                         name=f"stage0_block{d}",
                     )(x, train)
                     block_idx += 1
@@ -761,7 +800,8 @@ class TinyViT(nn.Module):
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
                         use_pallas_attention=stage in pallas_stages,
-                        quant=quant_mode,
+                        quant=stage_quant(stage),
+                        quant_sites=cfg.quant_sites,
                         name=f"stage{stage}_block{d}",
                     )(x, train)
                     block_idx += 1
@@ -770,7 +810,8 @@ class TinyViT(nn.Module):
                     cfg.embed_dims[stage + 1],
                     dtype=dtype,
                     exact_gelu=cfg.exact_gelu,
-                    quant=quant_mode,
+                    quant=stage_quant(stage + 1),
+                    quant_sites=cfg.quant_sites,
                     name=f"downsample{stage}",
                 )(x, train)
 
