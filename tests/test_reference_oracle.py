@@ -1,0 +1,354 @@
+"""Parity tests against the LIVE reference code (round-3 VERDICT #3).
+
+These import the reference's actual modules from /root/reference (pure
+torch/pandas code that runs offline) and assert repo outputs match —
+stronger than the hand-built torch oracles elsewhere because they bind
+to the reference's own code, not a reimplementation of it.
+
+Covered: smooth_labels, haversine_matrix, the full embeddings-mode
+SuperGuessr forward (smoothed soft-CE loss, hard CE, decode, top-5),
+the 4-token MHA fusion weights conversion, and the geocell universe
+(per-country cell counts + exact centroid multisets) vs the reference
+GeocellManager.generate_proto_df run on the reference's own pickles.
+
+Known reference quirk (documented in test_reference_pe_applies_by_batch
+rather than papered over): its PositionalEncoder stores a seq-first
+(max_len, 1, D) table but is fed batch-first (B, V, D) input
+(models/layers/positional_encoder.py:33-45 + super_guessr.py:341-345),
+so each BATCH element gets one position row broadcast across its views.
+The repo applies positions across the VIEW axis (the intended
+transformer semantics), so hierarchical full-forward parity is asserted
+at V=1 where the two agree exactly.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+import torch  # noqa: E402
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference mount not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Imports the reference's models.{utils,super_guessr} with cwd at the
+    reference root (its geocell paths are relative)."""
+    try:
+        import datasets  # noqa: F401
+    except ImportError:  # stub the unused heavy dependency
+        fake = types.ModuleType("datasets")
+        fake.Dataset = object
+        sys.modules["datasets"] = fake
+    sys.path.insert(0, REF)
+    old_cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        import importlib
+
+        utils = importlib.import_module("models.utils")
+        sg = importlib.import_module("models.super_guessr")
+        yield types.SimpleNamespace(utils=utils, sg=sg)
+    finally:
+        os.chdir(old_cwd)
+        sys.path.remove(REF)
+
+
+@pytest.fixture(scope="module")
+def ref_models(ref):
+    """One mean-fusion and one hierarchical reference SuperGuessr in
+    embeddings mode (base_model=None), eval mode, D=32."""
+    torch.manual_seed(0)
+    mean = ref.sg.SuperGuessr(
+        base_model=None, panorama=True, should_smooth_labels=True,
+        embed_dim=32,
+    ).eval()
+    torch.manual_seed(1)
+    hier = ref.sg.SuperGuessr(
+        base_model=None, panorama=True, hierarchical=True,
+        should_smooth_labels=True, embed_dim=32,
+    ).eval()
+    return mean, hier
+
+
+def test_smooth_labels_matches_reference(ref):
+    from geoguessr_ai_tpu.geo import smooth_labels
+
+    rng = np.random.default_rng(0)
+    d = rng.uniform(0, 20000, (8, 257)).astype(np.float32)
+    want = ref.utils.smooth_labels(torch.from_numpy(d)).numpy()
+    got = np.asarray(smooth_labels(jnp.asarray(d)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_haversine_matrix_matches_reference(ref):
+    from geoguessr_ai_tpu.geo import haversine_matrix
+
+    rng = np.random.default_rng(1)
+    x = np.stack(
+        [rng.uniform(-180, 180, 16), rng.uniform(-85, 85, 16)], axis=1
+    ).astype(np.float64)
+    y = np.stack(
+        [rng.uniform(-180, 180, 33), rng.uniform(-85, 85, 33)], axis=1
+    ).astype(np.float64)
+    want = ref.utils.haversine_matrix(
+        torch.from_numpy(x), torch.from_numpy(y).t()
+    ).numpy()
+    got = np.asarray(haversine_matrix(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def _repo_model_from_ref(ref_model, hierarchical):
+    """Build the repo SuperGuessr carrying the reference model's weights."""
+    from geoguessr_ai_tpu.models.super_guessr import SuperGuessr
+    from geoguessr_ai_tpu.models.torch_convert import (
+        merge_params,
+        super_guessr_head_from_reference,
+    )
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    centroids = sd["geocell_centroid_coords"]
+    model = SuperGuessr(
+        num_cells=centroids.shape[0],
+        backbone=None,
+        panorama=True,
+        hierarchical=hierarchical,
+        embed_dim=32,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), embedding=jnp.zeros((1, 4, 32))
+    )
+    params = merge_params(
+        variables["params"], super_guessr_head_from_reference(sd)
+    )
+    return model, {"params": params}, jnp.asarray(centroids)
+
+
+def test_super_guessr_forward_parity_mean_fusion(ref_models):
+    """Full embeddings-mode panorama forward vs the reference's own code:
+    smoothed soft-CE loss, decode, top-5 (super_guessr.py:268-395)."""
+    from geoguessr_ai_tpu.models import super_guessr as repo_sg
+
+    ref_model, _ = ref_models
+    model, variables, centroids = _repo_model_from_ref(ref_model, False)
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(0, 1, (3, 4, 32)).astype(np.float32)
+    labels = np.array(
+        [[10.7, 59.9], [10.4, 63.4], [-74.0, 40.7]], np.float32
+    )  # (lng, lat)
+    labels_clf = np.array([5, 1000, 12000])
+
+    with torch.no_grad():
+        want = ref_model(
+            embedding=torch.from_numpy(emb),
+            labels=torch.from_numpy(labels),
+            labels_clf=torch.from_numpy(labels_clf),
+        )
+
+    got = repo_sg.forward(
+        model,
+        variables,
+        centroids,
+        embedding=jnp.asarray(emb),
+        labels=jnp.asarray(labels),
+        should_smooth_labels=True,
+    )
+    np.testing.assert_allclose(
+        float(got.loss), float(want.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.preds_LLH), want.preds_LLH.numpy(), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.top5_geocells.indices),
+        want.top5_geocells.indices.numpy(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.top5_geocells.values),
+        want.top5_geocells.values.numpy(),
+        rtol=1e-4, atol=1e-7,
+    )
+
+    # hard-CE branch (super_guessr.py:383)
+    ref_model.should_smooth_labels = False
+    try:
+        with torch.no_grad():
+            want_hard = ref_model(
+                embedding=torch.from_numpy(emb),
+                labels_clf=torch.from_numpy(labels_clf),
+            )
+    finally:
+        ref_model.should_smooth_labels = True
+    got_hard = repo_sg.forward(
+        model,
+        variables,
+        centroids,
+        embedding=jnp.asarray(emb),
+        labels_clf=jnp.asarray(labels_clf),
+        should_smooth_labels=False,
+    )
+    np.testing.assert_allclose(
+        float(got_hard.loss), float(want_hard.loss), rtol=1e-5
+    )
+
+
+def test_super_guessr_hierarchical_parity(ref_models):
+    """Hierarchical fusion vs the reference's own code.  Full forward at
+    V=1 (exact — see module docstring on the reference PE quirk), plus
+    the 4-token MHA itself against the reference's nn.MultiheadAttention
+    instance through the weight converter."""
+    import flax.linen as nn
+
+    from geoguessr_ai_tpu.models import super_guessr as repo_sg
+    from geoguessr_ai_tpu.models.torch_convert import (
+        super_guessr_head_from_reference,
+    )
+
+    _, ref_model = ref_models
+    model, variables, centroids = _repo_model_from_ref(ref_model, True)
+
+    rng = np.random.default_rng(11)
+    # B=1, V=1: the only shape where the reference PE quirk is neutral
+    # (it indexes its table by BATCH position — see module docstring)
+    emb1 = rng.normal(0, 1, (1, 1, 32)).astype(np.float32)
+    labels = np.array([[10.7, 59.9]], np.float32)
+    with torch.no_grad():
+        # labels_clf is required even in smoothed mode — the reference
+        # calls _to_one_hot(labels_clf) unconditionally (:365)
+        want = ref_model(
+            embedding=torch.from_numpy(emb1),
+            labels=torch.from_numpy(labels),
+            labels_clf=torch.tensor([0]),
+        )
+    got = repo_sg.forward(
+        model,
+        variables,
+        centroids,
+        embedding=jnp.asarray(emb1),
+        labels=jnp.asarray(labels),
+        should_smooth_labels=True,
+    )
+    np.testing.assert_allclose(
+        float(got.loss), float(want.loss), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.preds_LLH), want.preds_LLH.numpy(), atol=1e-4
+    )
+
+    # MHA module parity at the real 4-view width
+    x = rng.normal(0, 1, (3, 4, 32)).astype(np.float32)
+    with torch.no_grad():
+        want_attn = ref_model.self_attn(
+            torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x),
+            need_weights=False,
+        )[0].numpy()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    attn_params = super_guessr_head_from_reference(sd)["self_attn"]
+    got_attn = np.asarray(
+        nn.MultiHeadDotProductAttention(
+            num_heads=16, dtype=jnp.float32, deterministic=True
+        ).apply({"params": attn_params}, jnp.asarray(x), jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got_attn, want_attn, atol=2e-5)
+
+
+def test_reference_pe_applies_by_batch(ref):
+    """Characterizes the reference PE quirk this repo intentionally does
+    NOT reproduce: the (max_len, 1, D) seq-first table broadcast over
+    batch-first input applies position i to every view of batch element
+    i (positional_encoder.py:33-45), while the repo applies positions
+    along the view axis."""
+    from geoguessr_ai_tpu.models.positional import (
+        PositionalEncoder,
+        sinusoidal_table,
+    )
+
+    pe = ref.sg.PositionalEncoder(32).eval()
+    x = np.zeros((3, 4, 32), np.float32)
+    with torch.no_grad():
+        out = pe(torch.from_numpy(x)).numpy()
+    table = pe.pos_encoding.detach().numpy()  # (max_len, 1, D)
+    # reference: batch i gets table row i across ALL views
+    for i in range(3):
+        np.testing.assert_allclose(
+            out[i], np.repeat(table[i], 4, axis=0), atol=1e-6
+        )
+    # repo: views 0..3 get table rows 0..3 (standard transformer PE)
+    repo_out = np.asarray(
+        PositionalEncoder(32).apply({}, jnp.asarray(x))
+    )
+    want = np.asarray(sinusoidal_table(1000, 32))[:4]
+    for i in range(3):
+        np.testing.assert_allclose(repo_out[i], want, atol=1e-6)
+    # and the reference's own table equals ours row-for-row
+    np.testing.assert_allclose(table[:, 0, :], np.asarray(
+        sinusoidal_table(1000, 32)), atol=1e-5)
+
+
+def test_geocell_universe_matches_reference(ref, tmp_path):
+    """Runs the reference's own GeocellManager.generate_proto_df on the
+    reference's 112 country pickles and checks the repo artifact holds
+    the SAME cell universe: per-country cell counts and exact centroid
+    multisets.  (Orderings differ by design: the reference iterates
+    pickles in filesystem order — nondeterministic — while the repo
+    sorts; the reference also silently DROPS cells with no clusters
+    from proto_df (geocell_manager.py:116-135 emits rows per cluster),
+    which the repo emits.)"""
+    import pandas as pd
+
+    from data.geocells.geocell_manager import GeocellManager  # reference
+
+    mgr = GeocellManager(os.path.join(REF, "data/geocells/finished_geocells"))
+    os.makedirs(tmp_path / "data" / "geocells", exist_ok=True)
+    old = os.getcwd()
+    os.chdir(tmp_path)  # generate_proto_df writes a relative path
+    try:
+        mgr.generate_proto_df()
+        ref_df = pd.read_csv("data/geocells/proto_df.csv")
+    finally:
+        os.chdir(old)
+
+    repo_df = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "data/geocells/proto_df.csv")
+    )
+    ref_cells = ref_df.drop_duplicates("geocell_index")
+    repo_cells = repo_df.drop_duplicates("geocell_index")
+
+    # the repo emits the reference's 2 clusterless cells as real rows
+    assert len(repo_cells) == 12647
+    assert int(ref_cells.geocell_index.max()) + 1 == 12647
+    assert len(ref_cells) == 12645
+
+    # normalize one known CSV-naming divergence in the reference output
+    norm = lambda s: s.replace("Virgin Islands, U.S.", "Virgin Islands, U")
+    ref_counts = ref_cells.country.map(norm).value_counts()
+    repo_counts = repo_cells.country.map(norm).value_counts()
+    for country, n in repo_counts.items():
+        assert abs(ref_counts.get(country, 0) - n) <= 2, country
+
+    for country in ("Jordan", "Norway", "Brazil", "United States"):
+        a = np.sort(
+            ref_cells[ref_cells.country == country][
+                ["centroid_lng", "centroid_lat"]
+            ].values.round(6), axis=0,
+        )
+        b = np.sort(
+            repo_cells[repo_cells.country == country][
+                ["centroid_lng", "centroid_lat"]
+            ].values.round(6), axis=0,
+        )
+        assert a.shape == b.shape, country
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=country)
