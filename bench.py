@@ -97,17 +97,63 @@ def main() -> None:
         "unit": "panoramas/s/chip",
         "vs_baseline": round(best / TARGET_PANOS_PER_S, 4),
     }
-    # Quality axis (BASELINE.md geocell top-1 / median-km): folded in from
-    # the latest tools/quality_run.py artifact — a from-scratch mini-train
-    # through the REAL coordinator on a synthetic multi-cell dataset
-    # (no pretrained weights reachable offline).
-    quality_path = "data/out/QUALITY.json"
+    # p50 guess latency — BASELINE.json's second tracked metric
+    # ("p50 inference.py guess latency").  Serves the fixture panorama
+    # through the production ServingEngine; note the axon relay adds a
+    # ~30 ms dispatch floor per request on this box.
     try:
-        with open(quality_path) as f:
-            record.update(json.load(f))
-    except FileNotFoundError:
-        pass
+        record.update(measure_p50_latency())
+    except Exception as e:
+        print(f"# p50 latency skipped: {str(e)[:200]}", file=sys.stderr)
+
+    # Quality axis (BASELINE.md geocell top-1 / median-km): folded in from
+    # the latest tools/quality_run.py artifact (vision-loop proof) and
+    # tools/quality_run_full.py (full 12,647-cell head + refiner lift) —
+    # from-scratch runs through the REAL coordinator on synthetic data
+    # (no pretrained weights reachable offline).
+    for quality_path in ("data/out/QUALITY.json", "data/out/QUALITY_FULL.json"):
+        try:
+            with open(quality_path) as f:
+                record.update(json.load(f))
+        except FileNotFoundError:
+            pass
     print(json.dumps(record))
+
+
+def measure_p50_latency(n: int = 15) -> dict:
+    """p50 single-panorama guess latency through ServingEngine (the
+    inference.py serving path), fixture panorama, B=1."""
+    import glob
+    import os
+
+    from geoguessr_ai_tpu.data.pipeline import decode_jpeg
+    from geoguessr_ai_tpu.serving.engine import ServingEngine
+
+    engine = ServingEngine(backbone="tinyvit")
+    fixtures = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "fixtures", "heading=*.jpg",
+            )
+        )
+    )
+    views = np.stack(
+        [
+            decode_jpeg(open(p, "rb").read(), engine.image_size)
+            for p in fixtures
+        ]
+    )[None]
+    engine.predict_batch(views)  # compile
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        engine.predict_batch(views)
+        times.append((time.perf_counter() - t0) * 1e3)
+    return {
+        "p50_guess_latency_ms": round(float(np.percentile(times, 50)), 1),
+        "p90_guess_latency_ms": round(float(np.percentile(times, 90)), 1),
+    }
 
 
 if __name__ == "__main__":
