@@ -257,6 +257,11 @@ class TrainConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     mesh: MeshConfig = MeshConfig()
     model: ModelConfig = ModelConfig()
+    #: Microbatch the step into this many scanned chunks, accumulating
+    #: gradients in bf16 — activation memory of one microbatch, an
+    #: alternative/complement to remat for big panorama batches
+    #: (train.steps.train_step).
+    grad_accum_steps: int = 1
     #: Host pipeline
     prefetch_depth: int = 2
     decode_threads: int = 8

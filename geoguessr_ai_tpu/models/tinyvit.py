@@ -53,10 +53,20 @@ class TinyViTConfig:
     #: tanh-approximated GELU is ~2.2x faster than exact erf GELU on the TPU
     #: VPU and differs by <1e-3; set True only for strict timm-weight parity.
     exact_gelu: bool = False
-    #: Rematerialize each block in the backward pass (activation
+    #: Rematerialize blocks in the backward pass (activation
     #: checkpointing): trades ~30% more FLOPs for O(depth) less activation
     #: memory, enabling larger train batches.
     remat: bool = False
+    #: Selective remat: which stages checkpoint when remat=True (None =
+    #: all).  The early stages carry the big activations (stage 0/1 run
+    #: at 128^2/64^2 resolution), so ``(0, 1)`` buys most of the memory
+    #: back for a fraction of the recompute.
+    remat_stages: Any = None
+    #: jax.checkpoint policy: "full" recomputes everything;
+    #: "dots" = dots_with_no_batch_dims_saveable (matmul outputs are
+    #: saved, elementwise chains recompute — cheaper backward at some
+    #: memory cost).
+    remat_policy: str = "full"
     #: Legacy alias: True selects quant_mode="dynamic" (kept for
     #: checkpoint/config back-compat; prefer quant_mode).
     quantize_gemms: bool = False
@@ -768,14 +778,30 @@ class TinyViT(nn.Module):
             name="patch_embed",
         )(x, train)
 
-        mbconv_cls = MBConv
-        block_cls = TinyViTBlock
-        if cfg.remat:
-            mbconv_cls = nn.remat(MBConv, static_argnums=(2,))
-            block_cls = nn.remat(TinyViTBlock, static_argnums=(2,))
+        remat_stages = (
+            set(cfg.remat_stages)
+            if cfg.remat_stages is not None
+            else set(range(len(cfg.depths)))
+        )
+        policy = None
+        if cfg.remat_policy == "dots":
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
+
+        def classes_for(stage: int):
+            if cfg.remat and stage in remat_stages:
+                return (
+                    nn.remat(MBConv, static_argnums=(2,), policy=policy),
+                    nn.remat(
+                        TinyViTBlock, static_argnums=(2,), policy=policy
+                    ),
+                )
+            return MBConv, TinyViTBlock
 
         block_idx = 0
         for stage in range(len(cfg.depths)):
+            mbconv_cls, block_cls = classes_for(stage)
             if stage == 0:
                 for d in range(cfg.depths[0]):
                     x = mbconv_cls(

@@ -208,7 +208,8 @@ def train(
     )
 
     jit_train, jit_eval = make_sharded_steps(
-        mesh, cfg.mesh, cfg.model.should_smooth_labels
+        mesh, cfg.mesh, cfg.model.should_smooth_labels,
+        grad_accum_steps=cfg.grad_accum_steps,
     )
     data_shard = batch_sharding(mesh, cfg.mesh)
 

@@ -64,46 +64,94 @@ def train_step(
     batch: Dict[str, jax.Array],
     centroids: jax.Array,
     should_smooth_labels: bool = True,
+    grad_accum_steps: int = 1,
+    accum_dtype=jnp.bfloat16,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    """One optimization step.  Pure; jit-with-shardings applied by callers."""
+    """One optimization step.  Pure; jit-with-shardings applied by callers.
+
+    grad_accum_steps > 1 splits the batch into that many microbatches and
+    runs them through a lax.scan, accumulating gradients in
+    ``accum_dtype`` (bf16 halves the accumulator footprint vs f32) —
+    activation memory is that of ONE microbatch, an alternative to remat
+    for large panorama batches (reference PRETRAIN_ARGS grad-accum 8,
+    config.py:114; here applied to the main trainer)."""
     rng = jax.random.fold_in(state.dropout_rng, state.step)
 
-    def loss_fn(params):
+    def loss_fn(params, batch_stats, mb, mb_rng):
         variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
             (emb, logits), new_model_state = state.apply_fn(
                 variables,
-                pixel_values=batch.get("pixel_values"),
-                embedding=batch.get("embedding"),
-                view_mask=batch.get("view_mask"),
+                pixel_values=mb.get("pixel_values"),
+                embedding=mb.get("embedding"),
+                view_mask=mb.get("view_mask"),
                 train=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": mb_rng},
                 mutable=["batch_stats"],
             )
+            new_stats = new_model_state["batch_stats"]
         else:
             emb, logits = state.apply_fn(
                 variables,
-                pixel_values=batch.get("pixel_values"),
-                embedding=batch.get("embedding"),
-                view_mask=batch.get("view_mask"),
+                pixel_values=mb.get("pixel_values"),
+                embedding=mb.get("embedding"),
+                view_mask=mb.get("view_mask"),
                 train=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": mb_rng},
             )
-            new_model_state = {}
+            new_stats = batch_stats
         if should_smooth_labels:
-            loss = smoothed_soft_ce(logits, batch["coords"], centroids)
+            loss = smoothed_soft_ce(logits, mb["coords"], centroids)
         else:
-            labels = nearest_centroid_labels(batch["coords"], centroids)
+            labels = nearest_centroid_labels(mb["coords"], centroids)
             loss = hard_ce(logits, labels)
-        return loss, (logits, new_model_state)
+        return loss, (logits, new_stats)
 
-    (loss, (logits, new_model_state)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True
-    )(state.params)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if grad_accum_steps <= 1:
+        (loss, (logits, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+    else:
+        k = grad_accum_steps
+
+        def split(x):
+            return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+        micro_batches = jax.tree.map(split, batch)
+
+        def micro(carry, xs):
+            gacc, bstats = carry
+            i, mb = xs
+            (mb_loss, (mb_logits, new_bstats)), grads = grad_fn(
+                state.params, bstats, mb, jax.random.fold_in(rng, i)
+            )
+            gacc = jax.tree.map(
+                lambda a, g: a + g.astype(a.dtype), gacc, grads
+            )
+            return (gacc, new_bstats), (mb_loss, mb_logits)
+
+        gacc0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, accum_dtype), state.params
+        )
+        (gacc, new_stats), (losses, logits_k) = jax.lax.scan(
+            micro,
+            (gacc0, state.batch_stats),
+            (jnp.arange(k), micro_batches),
+        )
+        grads = jax.tree.map(
+            lambda a: (a.astype(jnp.float32) / k), gacc
+        )
+        loss = jnp.mean(losses)
+        logits = logits_k.reshape(
+            (logits_k.shape[0] * logits_k.shape[1],) + logits_k.shape[2:]
+        )
+
     state = state.apply_gradients(grads=grads)
-    if new_model_state:
-        state = state.replace(batch_stats=new_model_state["batch_stats"])
+    if new_stats:
+        state = state.replace(batch_stats=new_stats)
     metrics = _metrics(logits, batch["coords"], centroids, loss)
     # Model-health scalars: the jit-friendly stand-in for the reference's
     # wandb.watch(model, log="all") (main_coordinator_idun.py:188) —
@@ -138,6 +186,7 @@ def make_sharded_steps(
     mesh: Mesh,
     mesh_cfg: MeshConfig = MeshConfig(),
     should_smooth_labels: bool = True,
+    grad_accum_steps: int = 1,
 ):
     """Compile train/eval steps with mesh shardings.
 
@@ -151,7 +200,9 @@ def make_sharded_steps(
 
     jit_train = jax.jit(
         functools.partial(
-            train_step, should_smooth_labels=should_smooth_labels
+            train_step,
+            should_smooth_labels=should_smooth_labels,
+            grad_accum_steps=grad_accum_steps,
         ),
         in_shardings=(None, data_spec, repl),
         donate_argnums=(0,),

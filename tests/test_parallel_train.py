@@ -192,3 +192,118 @@ def test_sharded_restore_preserves_shardings(tmp_path):
     np.testing.assert_allclose(
         np.asarray(k1), np.asarray(k0), atol=1e-7
     )
+
+
+def test_grad_accum_matches_single_step():
+    """grad_accum_steps=4 with f32 accumulation reproduces the plain
+    step's update exactly (no-BN model: microbatching is then pure
+    gradient linearity); bf16 accumulation tracks it loosely."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.super_guessr import SuperGuessr
+    from geoguessr_ai_tpu.train.state import create_train_state
+    from geoguessr_ai_tpu.train.steps import train_step
+    from geoguessr_ai_tpu.config import OptimizerConfig
+
+    K, D, B = 13, 16, 8
+    rng = np.random.default_rng(0)
+    model = SuperGuessr(
+        num_cells=K, backbone=None, panorama=True, embed_dim=D,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), embedding=jnp.zeros((1, 4, D))
+    )
+    centroids = jnp.asarray(
+        np.stack(
+            [rng.uniform(-170, 170, K), rng.uniform(-60, 60, K)], axis=-1
+        ),
+        jnp.float32,
+    )
+    batch = {
+        "embedding": jnp.asarray(
+            rng.normal(0, 1, (B, 4, D)), jnp.float32
+        ),
+        "coords": jnp.asarray(
+            np.stack(
+                [rng.uniform(-170, 170, B), rng.uniform(-60, 60, B)],
+                axis=-1,
+            ),
+            jnp.float32,
+        ),
+    }
+
+    def fresh():
+        return create_train_state(
+            model, variables, OptimizerConfig(), 10
+        )
+
+    s1, m1 = train_step(fresh(), batch, centroids)
+    s4, m4 = train_step(
+        fresh(), batch, centroids, grad_accum_steps=4,
+        accum_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        float(m4["loss"]), float(m1["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s4.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+
+    sb, mb = train_step(
+        fresh(), batch, centroids, grad_accum_steps=4,
+        accum_dtype=jnp.bfloat16,
+    )
+    assert np.isfinite(float(mb["loss"]))
+    np.testing.assert_allclose(
+        float(mb["grad_norm"]), float(m1["grad_norm"]), rtol=0.05
+    )
+
+
+def test_grad_accum_with_batch_stats_runs():
+    """BN-carrying backbone path: scanned microbatches must thread
+    batch_stats through the carry and produce a finite update."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.super_guessr import SuperGuessr
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+    from geoguessr_ai_tpu.train.state import create_train_state
+    from geoguessr_ai_tpu.train.steps import train_step
+    from geoguessr_ai_tpu.config import OptimizerConfig
+
+    tv = TinyViTConfig.test_tiny(dtype=jnp.float32)
+    K = 7
+    model = SuperGuessr(
+        num_cells=K, backbone=TinyViT(tv), panorama=True,
+        embed_dim=tv.embed_dim, dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, 4, tv.image_size, tv.image_size, 3)),
+        jnp.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), pixel_values=x[:1])
+    centroids = jnp.asarray(
+        np.stack([rng.uniform(-170, 170, K), rng.uniform(-60, 60, K)], -1),
+        jnp.float32,
+    )
+    state = create_train_state(model, variables, OptimizerConfig(), 10)
+    batch = {
+        "pixel_values": x,
+        "coords": jnp.asarray(
+            np.stack([rng.uniform(-170, 170, 4), rng.uniform(-60, 60, 4)], -1),
+            jnp.float32,
+        ),
+    }
+    old_stats = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    state2, metrics = train_step(state, batch, centroids, grad_accum_steps=2)
+    assert np.isfinite(float(metrics["loss"]))
+    # BN stats actually updated through the scan carry
+    new_stats = jax.tree_util.tree_leaves(state2.batch_stats)[0]
+    assert not np.allclose(np.asarray(old_stats), np.asarray(new_stats))
