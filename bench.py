@@ -26,6 +26,8 @@ def main() -> None:
 
     C.enable_compilation_cache()
 
+    import dataclasses
+
     cfg = TinyViTConfig.tiny_vit_21m_512()
     model = TinyViT(cfg)
 
@@ -40,7 +42,54 @@ def main() -> None:
     device = jax.devices()[0]
     variables = jax.device_put(variables, device)
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    # Production embed config (round 3): static-int8 MLP GEMMs at B=448
+    # measured 756.9+-0.1 vs bf16's 746.0+-0.2 at 448 / 742.7 at 320
+    # (docs/performance.md int8 chapter; cosine gate in tests/test_quant
+    # .py).  Calibrate scales on host CPU; plain bf16@320 is the
+    # fallback attempt if the int8 program fails here.
+    attempts = []
+    try:
+        from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+        with jax.default_device(cpu):
+            model_cal = TinyViT(
+                dataclasses.replace(
+                    cfg, dtype=jnp.float32, quant_mode="calibrate"
+                )
+            )
+            rngd = np.random.default_rng(0)
+            stats = calibrate_act_stats(
+                jax.jit(
+                    lambda v, x: model_cal.apply(v, x, mutable=["act_stats"])
+                ),
+                jax.device_put(variables, cpu),
+                [
+                    jnp.asarray(
+                        rngd.normal(
+                            0, 1, (2, cfg.image_size, cfg.image_size, 3)
+                        ),
+                        jnp.float32,
+                    )
+                ],
+            )
+        scales = jax.device_put(jax.tree.map(jnp.asarray, stats), device)
+        model_q = TinyViT(
+            dataclasses.replace(
+                cfg, quant_mode="static", quant_sites=("fc1", "fc2")
+            )
+        )
+        attempts.append(
+            (
+                "int8-mlp",
+                448,
+                jax.jit(
+                    lambda v, x: model_q.apply({**v, "act_scales": scales}, x)
+                ),
+            )
+        )
+    except Exception as e:
+        print(f"# int8 setup skipped: {str(e)[:160]}", file=sys.stderr)
+    attempts.append(("bf16", 320, jax.jit(lambda v, x: model.apply(v, x))))
 
     # Note on targets: TinyViT-21M @ 512 is ~54 GFLOP/image, so one v5e
     # chip's bf16 roofline is ~3.6k img/s (~900 panos/s); BASELINE.json's
@@ -48,9 +97,8 @@ def main() -> None:
     # report absolute panoramas/s/chip (vs_baseline still vs 5k).
     best = 0.0
     best_bs = 0
-    # B=320 measured best: 705 img/s vs 697 at B=256 / 675 at B=384
-    # (layout-dependent; see docs/performance.md batch sweep).
-    for batch_imgs in (320,):
+    best_variant = "bf16"
+    for variant, batch_imgs, fwd in attempts:
         x = jax.device_put(
             jnp.zeros(
                 (batch_imgs, cfg.image_size, cfg.image_size, 3), jnp.bfloat16
@@ -61,18 +109,23 @@ def main() -> None:
         # relay, block_until_ready returns before execution finishes, so a
         # tiny device->host read is the only honest barrier.  The remote
         # compile helper fails transiently (HTTP 500) — retry.
+        compiled = False
         for attempt in range(5):
             try:
                 np.asarray(fwd(variables, x)[0, 0:1])
+                compiled = True
                 break
             except Exception as e:
                 print(
-                    f"# compile attempt {attempt} failed: {str(e)[:120]}",
+                    f"# {variant} compile attempt {attempt} failed: "
+                    f"{str(e)[:120]}",
                     file=sys.stderr,
                 )
                 time.sleep(20)
-        else:
-            raise RuntimeError("bench compile failed after 5 attempts")
+        if not compiled:
+            if variant == "bf16":
+                raise RuntimeError("bench compile failed after 5 attempts")
+            continue  # fall through to the bf16 attempt
         iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -81,17 +134,19 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / iters
         panos_per_s = batch_imgs / 4 / dt
         print(
-            f"# batch={batch_imgs} imgs: {dt*1e3:.2f} ms "
+            f"# {variant} batch={batch_imgs} imgs: {dt*1e3:.2f} ms "
             f"-> {panos_per_s:.0f} panos/s",
             file=sys.stderr,
         )
         if panos_per_s > best:
-            best, best_bs = panos_per_s, batch_imgs
+            best, best_bs, best_variant = panos_per_s, batch_imgs, variant
+        if variant == "int8-mlp" and panos_per_s > 0:
+            break  # primary path measured; skip the fallback compile
 
     record = {
         "metric": (
             "4-heading panoramas/sec/chip (TinyViT-21M-512 embed, "
-            f"bf16, batch {best_bs} imgs)"
+            f"{best_variant}, batch {best_bs} imgs)"
         ),
         "value": round(best, 1),
         "unit": "panoramas/s/chip",
