@@ -45,6 +45,11 @@ class CLIPVisionConfig:
     #: (pad-to-640, head-major transposes, per-q-tile k/v refetch)
     #: measured 203 img/s and was replaced by this design.
     pallas_attention: bool = True
+    #: Fold the out-projection GEMM into the attention kernel (per-chunk
+    #: (cw, D) partial GEMMs accumulated in f32 VMEM scratch — the
+    #: (B, N, D) attention output never round-trips HBM).  Measured e2e
+    #: before flipping the default.
+    pallas_fuse_proj: bool = False
     #: heads per kernel grid cell ((HB, N, N) f32 scores in VMEM).
     #: Measured B=256: hb4 695 ms == hb8 (859 XLA, 713 hb2).
     pallas_head_block: int = 4
@@ -153,10 +158,14 @@ class _PallasSelfAttention(nn.Module):
     dtype: Any
     head_block: int = 2
     quantize: bool = False
+    fuse_proj: bool = False
 
     @nn.compact
     def __call__(self, x):
-        from geoguessr_ai_tpu.ops.clip_attention import clip_attention
+        from geoguessr_ai_tpu.ops.clip_attention import (
+            clip_attention,
+            clip_attention_proj,
+        )
 
         B, N, D = x.shape
         H = self.num_heads
@@ -190,6 +199,17 @@ class _PallasSelfAttention(nn.Module):
                     preferred_element_type=self.dtype,
                 )
                 + b_qkv
+            )
+        if self.fuse_proj and not self.quantize:
+            return (
+                clip_attention_proj(
+                    qkv,
+                    ok.reshape(D, D).astype(self.dtype),
+                    hd**-0.5,
+                    H,
+                    self.head_block,
+                )
+                + ob.astype(self.dtype)
             )
         o = clip_attention(qkv, hd**-0.5, H, self.head_block)  # (B, N, D)
         if self.quantize:
@@ -229,6 +249,7 @@ class CLIPEncoderLayer(nn.Module):
                 dtype=dtype,
                 head_block=hb,
                 quantize=cfg.quantize_gemms,
+                fuse_proj=cfg.pallas_fuse_proj,
                 name="self_attn",
             )(h)
         else:

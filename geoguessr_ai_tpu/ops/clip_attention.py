@@ -144,6 +144,171 @@ def _flash_pallas(
     )(qkv, qkv, qkv)
 
 
+def _flash_proj_kernel(
+    q_ref, k_ref, v_ref, w_ref, o_ref, acc_ref, *,
+    scale: float, hd: int, n_chunks: int,
+):
+    """Attention for one head-chunk PLUS its slice of the out-projection.
+
+    Each (image, head-chunk) cell computes o_chunk (N, cw) like
+    _flash_kernel, then immediately contracts it with the chunk's rows of
+    the out-projection weight ((cw, D) resident in VMEM) and accumulates
+    the f32 partial sum in scratch — the (B, N, D) attention output never
+    exists in HBM and the out-proj GEMM rides the same dispatch.  The
+    accumulator is written out on the LAST chunk (TPU grid is sequential;
+    the chunk axis is innermost)."""
+    IB = q_ref.shape[0]
+    hc = pl.program_id(1)
+
+    def heads(ref):
+        hb = ref.shape[-1] // hd
+        return jnp.stack(
+            [
+                ref[i, :, h * hd : (h + 1) * hd]
+                for i in range(IB)
+                for h in range(hb)
+            ],
+            axis=0,
+        )
+
+    q = heads(q_ref)
+    k = heads(k_ref)
+    v = heads(v_ref)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (IB*HB, N, hd)
+    hb = o.shape[0] // IB
+    w = w_ref[...]  # (cw, D)
+    for i in range(IB):
+        o_chunk = jnp.concatenate(
+            [o[i * hb + h] for h in range(hb)], axis=-1
+        ).astype(w.dtype)  # (N, cw)
+        partial = jax.lax.dot_general(
+            o_chunk, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, D)
+
+        @pl.when(hc == 0)
+        def _init():
+            acc_ref[i] = partial
+
+        @pl.when(hc != 0)
+        def _acc():
+            acc_ref[i] = acc_ref[i] + partial
+
+    @pl.when(hc == n_chunks - 1)
+    def _write():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _flash_proj_pallas(
+    qkv, w_proj, scale, num_heads, head_block, img_block=None,
+    interpret=False,
+):
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    cw = head_block * hd
+    n_chunks = num_heads // head_block
+    if img_block is None:
+        img_block = IMG_BLOCK
+    while B % img_block:
+        img_block -= 1
+    return pl.pallas_call(
+        functools.partial(
+            _flash_proj_kernel, scale=scale, hd=hd, n_chunks=n_chunks
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        grid=(B // img_block, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (img_block, N, cw),
+                lambda b, hc: (b, 0, hc),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (img_block, N, cw),
+                lambda b, hc, _n=n_chunks: (b, 0, _n + hc),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (img_block, N, cw),
+                lambda b, hc, _n=n_chunks: (b, 0, 2 * _n + hc),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cw, D), lambda b, hc: (hc, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (img_block, N, D), lambda b, hc: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((img_block, N, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=DIMENSION_SEMANTICS,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, w_proj)
+
+
+def _flash_proj_xla(qkv, w_proj, scale, num_heads):
+    o = _flash_xla(qkv, scale, num_heads)
+    return jax.lax.dot_general(
+        o, w_proj.astype(o.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=o.dtype,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def clip_attention_proj(
+    qkv, w_proj, scale: float, num_heads: int, head_block: int = HEAD_BLOCK
+):
+    """Fused softmax(q k^T * scale) v @ W_out (out-proj folded into the
+    kernel; bias/residual stay outside).  Args as clip_attention plus
+    w_proj (D, D) with rows in the kernel's h*hd+d channel order."""
+    return jax.lax.platform_dependent(
+        qkv,
+        w_proj,
+        cpu=functools.partial(
+            _flash_proj_xla, scale=scale, num_heads=num_heads
+        ),
+        default=functools.partial(
+            _flash_proj_pallas,
+            scale=scale,
+            num_heads=num_heads,
+            head_block=head_block,
+        ),
+    )
+
+
+def _proj_fwd(qkv, w_proj, scale, num_heads, head_block):
+    return (
+        clip_attention_proj(qkv, w_proj, scale, num_heads, head_block),
+        (qkv, w_proj),
+    )
+
+
+def _proj_bwd(scale, num_heads, head_block, res, g):
+    qkv, w_proj = res
+    _, vjp = jax.vjp(
+        lambda t, w: _flash_proj_xla(t, w, scale, num_heads), qkv, w_proj
+    )
+    return vjp(g)
+
+
+clip_attention_proj.defvjp(_proj_fwd, _proj_bwd)
+
+
 def _flash_xla(qkv, scale, num_heads):
     B, N, D3 = qkv.shape
     D = D3 // 3

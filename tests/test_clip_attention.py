@@ -114,3 +114,59 @@ def test_kernel_img_block_variants():
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
             err_msg=str(ib),
         )
+
+
+def test_fused_proj_kernel_matches_xla_interpret():
+    """clip_attention_proj (out-projection folded into the kernel with a
+    VMEM f32 accumulator) matches the XLA attention + separate GEMM."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.ops.clip_attention import (
+        _flash_proj_pallas,
+        _flash_proj_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    B, N, H, hd = 2, 61, 4, 16
+    D = H * hd
+    qkv = jnp.asarray(rng.normal(0, 1, (B, N, 3 * D)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (D, D)), jnp.float32)
+    want = np.asarray(_flash_proj_xla(qkv, w, hd**-0.5, H))
+    got = np.asarray(
+        _flash_proj_pallas(
+            qkv, w, hd**-0.5, H, head_block=2, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_fused_proj_module_matches_unfused():
+    """CLIPVisionTower with pallas_fuse_proj=True equals the unfused
+    tower numerically (CPU lowers both to the XLA path; the param tree
+    is unchanged)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.clip_vit import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+    )
+
+    cfg = dataclasses.replace(
+        CLIPVisionConfig.test_tiny(), dtype=jnp.float32,
+        pallas_attention=True,
+    )
+    cfg2 = dataclasses.replace(cfg, pallas_fuse_proj=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.normal(0, 1, (2, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    m1, m2 = CLIPVisionTower(cfg), CLIPVisionTower(cfg2)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(m1.apply(v, x).pooler_output)
+    b = np.asarray(m2.apply(v, x).pooler_output)
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
