@@ -43,6 +43,7 @@ def run_benchmark(
     checkpoint: Optional[str] = None,
     batch_size: int = 16,
     seed: int = 0,
+    centroid_table: Optional[str] = None,
 ) -> dict:
     """Returns the summary record (also appended to the output JSON).
 
@@ -72,7 +73,21 @@ def run_benchmark(
     idx = rng.choice(len(test_df), size=n, replace=False)
     sample_df = test_df.iloc[sorted(idx)].reset_index(drop=True)
 
-    engine = ServingEngine(backbone=backbone, checkpoint=checkpoint)
+    # An imported reference checkpoint's cell ordering travels with ITS
+    # centroid table (tools/import_checkpoint.py --proto-df writes the
+    # <ckpt>_centroids.npz sidecar) — auto-detected, or pass explicitly.
+    table = None
+    if centroid_table is None and checkpoint:
+        sidecar = checkpoint.rstrip("/") + "_centroids.npz"
+        if os.path.exists(sidecar):
+            centroid_table = sidecar
+    if centroid_table:
+        from geoguessr_ai_tpu.geocells.manager import CentroidTable
+
+        table = CentroidTable.load(centroid_table)
+    engine = ServingEngine(
+        backbone=backbone, checkpoint=checkpoint, centroid_table=table
+    )
     it = PanoramaBatchIterator(
         sample_df, batch_size=batch_size, image_size=engine.image_size
     )
@@ -133,6 +148,8 @@ def main() -> None:
     )
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--centroid-table", default=None,
+                    help="centroid .npz matching the checkpoint's ordering")
     args = ap.parse_args()
     run_benchmark(
         num_samples=args.num_samples,
@@ -141,6 +158,7 @@ def main() -> None:
         output_path=args.output_path,
         backbone=args.backbone,
         checkpoint=args.checkpoint,
+        centroid_table=args.centroid_table,
         batch_size=args.batch_size,
     )
 
