@@ -109,6 +109,14 @@ class TinyViTConfig:
     #: softmax/probs traffic well at N=1024) — XLA remains its default.
     #: () disables Pallas entirely.
     pallas_attention_stages: Tuple[int, ...] = (1, 3)
+    #: Fully-fused block-attention kernel (LN + qkv GEMM + attention +
+    #: out-proj in ONE pallas_call; ops/window_attention.py
+    #: fused_block_attention) for the small-N stages — removes the qkv
+    #: tensor's HBM round-trip and the pallas-boundary layout copies the
+    #: round-3 per-fusion profile found (~12 ms at stage 1).  Takes
+    #: precedence over pallas_attention_stages for listed stages.
+    #: Measured before changing the default.
+    fused_block_stages: Tuple[int, ...] = ()
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -450,6 +458,24 @@ def _relative_bias_index(window: int) -> np.ndarray:
     return inv.reshape(offsets.shape).astype(np.int32)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder with nn.LayerNorm's tree layout (scale + bias)
+    so the fused-block kernel path shares checkpoints with the stock
+    LayerNorm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        return scale, bias
+
+
 class _DenseParams(nn.Module):
     """Parameter holder with nn.Dense's tree layout (kernel (in, out) +
     bias), so attention paths that consume reshaped weight views share
@@ -482,6 +508,7 @@ class WindowAttention(nn.Module):
     window: int
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    fused_block: bool = False
     quant: str = "none"
     quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
@@ -490,6 +517,36 @@ class WindowAttention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
+
+        if self.fused_block and N % 128 == 0:
+            from geoguessr_ai_tpu.ops.window_attention import (
+                fused_block_attention,
+            )
+
+            ln_scale, ln_bias = _LNParams(C, name="norm")()
+            qkv_kernel, qkv_bias = _DenseParams(3 * self.dim, name="qkv")(C)
+            proj_kernel, proj_bias = _DenseParams(self.dim, name="proj")(
+                self.dim
+            )
+            bias_idx = _relative_bias_index(self.window)
+            biases = self.param(
+                "attention_biases",
+                nn.initializers.zeros,
+                (self.num_heads, int(bias_idx.max()) + 1),
+                jnp.float32,
+            )
+            return fused_block_attention(
+                x.astype(self.dtype),
+                ln_scale,
+                ln_bias,
+                qkv_kernel,
+                qkv_bias,
+                proj_kernel,
+                proj_bias,
+                biases[:, bias_idx],
+                scale,
+                self.num_heads,
+            )
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             x.astype(jnp.float32)
@@ -687,6 +744,7 @@ class TinyViTBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
     use_pallas_attention: bool = False
+    use_fused_block: bool = False
     quant: str = "none"
     quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
@@ -704,6 +762,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
+                fused_block=self.use_fused_block,
                 quant=self.quant, quant_sites=self.quant_sites,
                 name="attn",
             )(tokens)
@@ -719,6 +778,7 @@ class TinyViTBlock(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
+                fused_block=self.use_fused_block,
                 quant=self.quant, quant_sites=self.quant_sites,
                 name="attn",
             )(windows)
@@ -826,6 +886,7 @@ class TinyViT(nn.Module):
                         dtype=dtype,
                         exact_gelu=cfg.exact_gelu,
                         use_pallas_attention=stage in pallas_stages,
+                        use_fused_block=stage in cfg.fused_block_stages,
                         quant=stage_quant(stage),
                         quant_sites=cfg.quant_sites,
                         name=f"stage{stage}_block{d}",

@@ -450,3 +450,227 @@ def supports_pallas() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused block kernel (round 3): LN + qkv GEMM + attention + out-proj
+# in ONE pallas_call, for the small-N stages (1 and 3) where one window's
+# whole attention fits a grid cell with no q-tiling and a single head
+# chunk.  What it removes vs the qkv-kernel path (per-fusion profile,
+# docs/performance.md round-3 chapter): the (W, N, 3D) qkv tensor's HBM
+# write+read (stage 1: 1.5 GB/block), the ~4 ms layout-convert copies
+# XLA materializes to feed the pallas_call, the f32 LN round-trip, and
+# the separate proj GEMM's input read.  Stage 2 keeps XLA: its N=1024
+# windows would need q-tiling, and re-projecting k/v per q-tile costs
+# more than the saved traffic (the residency conflict that sank three
+# stage-2 kernel designs).
+# ---------------------------------------------------------------------------
+
+#: windows per fused-block grid cell (benchmarks sweep).
+FUSED_BLOCK_WB = 4
+
+
+def _fused_block_kernel(
+    x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ab_ref, o_ref, *, scale: float, hd: int, num_heads: int, eps: float,
+):
+    WB, N, C = x_ref.shape
+    D = num_heads * hd
+    x = x_ref[...].reshape(WB * N, C)
+
+    # LayerNorm (f32 stats, bf16 out) — never leaves VMEM
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (
+        xc * jax.lax.rsqrt(var + eps) * ls_ref[0].astype(jnp.float32)
+        + lb_ref[0].astype(jnp.float32)
+    ).astype(x.dtype)
+
+    qkv = (
+        jax.lax.dot_general(
+            ln, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bqkv_ref[0]
+    ).reshape(WB, N, 3 * D)
+
+    def slot(s):
+        return jnp.stack(
+            [
+                qkv[w, :, h * 3 * hd + s * hd : h * 3 * hd + (s + 1) * hd]
+                for w in range(WB)
+                for h in range(num_heads)
+            ],
+            axis=0,
+        )  # (WB*H, N, hd)
+
+    q, k, v = slot(0), slot(1), slot(2)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (WB*H, N, N) f32
+    ab = ab_ref[...].astype(jnp.float32)  # (H, N, N)
+    s = s * scale + jnp.concatenate([ab] * WB, axis=0)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (WB*H, N, hd)
+    o_cat = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [o[w * num_heads + h] for h in range(num_heads)], axis=-1
+            )
+            for w in range(WB)
+        ],
+        axis=0,
+    ).astype(x.dtype)  # (WB*N, D)
+    out = (
+        jax.lax.dot_general(
+            o_cat, wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bproj_ref[0].astype(jnp.float32)
+    )
+    o_ref[...] = out.reshape(WB, N, C).astype(o_ref.dtype)
+
+
+def _fused_block_pallas(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+    scale, num_heads, eps, block_w=None, interpret=False,
+):
+    W, N, C = x.shape
+    D = w_proj.shape[0]
+    hd = D // num_heads
+    wb = block_w or FUSED_BLOCK_WB
+    while W % wb:
+        wb -= 1
+    dt = x.dtype
+    args = (
+        x,
+        ln_scale.reshape(1, C).astype(jnp.float32),
+        ln_bias.reshape(1, C).astype(jnp.float32),
+        w_qkv.astype(dt),
+        b_qkv.reshape(1, 3 * D).astype(dt),
+        w_proj.astype(dt),
+        b_proj.reshape(1, C).astype(jnp.float32),
+        bias.astype(dt),
+    )
+    const = lambda w: (0, 0)
+    const3 = lambda w: (0, 0, 0)
+    return pl.pallas_call(
+        functools.partial(
+            _fused_block_kernel, scale=scale, hd=hd,
+            num_heads=num_heads, eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((W, N, C), dt),
+        grid=(W // wb,),
+        in_specs=[
+            pl.BlockSpec(
+                (wb, N, C), lambda w: (w, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (C, 3 * D), const, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads, N, N), const3, memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (wb, N, C), lambda w: (w, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _fused_block_xla(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+    scale, num_heads, eps,
+):
+    W, N, C = x.shape
+    D = w_proj.shape[0]
+    hd = D // num_heads
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (
+        xc * jax.lax.rsqrt(var + eps) * ln_scale.astype(jnp.float32)
+        + ln_bias.astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = (
+        jnp.einsum(
+            "wnc,ck->wnk", ln, w_qkv.astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        + b_qkv.astype(x.dtype)
+    )
+    o = _attention_qkv_fused_xla(qkv, bias, scale, num_heads)
+    return (
+        jnp.einsum(
+            "wnd,dc->wnc", o, w_proj.astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        + b_proj.astype(x.dtype)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_block_attention(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+    scale: float, num_heads: int, eps: float = 1e-5,
+):
+    """proj(attention(LN(x))) + b_proj for independent windows, fully
+    fused on TPU (residual add stays outside so DropPath semantics are
+    untouched).
+
+    Args:
+      x: (W, N, C) pre-LN window tokens.
+      ln_scale, ln_bias: (C,) LayerNorm params.
+      w_qkv: (C, 3D) TinyViT channel layout (head h at [h*3hd, (h+1)*3hd),
+        q/k/v slots of hd within); b_qkv (3D,).
+      w_proj: (D, C); b_proj (C,).
+      bias: (H, N, N) additive attention bias.
+    """
+    return jax.lax.platform_dependent(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+        cpu=functools.partial(
+            _fused_block_xla, scale=scale, num_heads=num_heads, eps=eps
+        ),
+        default=functools.partial(
+            _fused_block_pallas, scale=scale, num_heads=num_heads, eps=eps
+        ),
+    )
+
+
+def _fb_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+            scale, num_heads, eps):
+    return (
+        fused_block_attention(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+            scale, num_heads, eps,
+        ),
+        (x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias),
+    )
+
+
+def _fb_bwd(scale, num_heads, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _fused_block_xla(*a, scale, num_heads, eps), *res
+    )
+    return vjp(g)
+
+
+fused_block_attention.defvjp(_fb_fwd, _fb_bwd)

@@ -159,3 +159,63 @@ def test_select_head_block_lane_rule():
                 hb = select_head_block(H, hd, req)
                 assert H % hb == 0
                 assert (3 * hd * hb) % 128 == 0 or hb == H
+
+
+def test_fused_block_kernel_interpret_matches_xla():
+    """fused_block_attention (LN+qkv+attention+proj in one kernel): the
+    pallas interpret path matches the XLA composition."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.ops.window_attention import (
+        _fused_block_pallas,
+        _fused_block_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    W, N, C, H = 6, 128, 32, 2
+    hd = C // H
+    x = jnp.asarray(rng.normal(0, 1, (W, N, C)), jnp.float32)
+    args = (
+        x,
+        jnp.asarray(rng.normal(1, 0.1, (C,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (C, 3 * C)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (3 * C,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (C, C)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.5, (H, N, N)), jnp.float32),
+    )
+    want = np.asarray(_fused_block_xla(*args, hd**-0.5, H, 1e-5))
+    got = np.asarray(
+        _fused_block_pallas(
+            *args, hd**-0.5, H, 1e-5, block_w=2, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_fused_block_model_matches_default():
+    """TinyViT with fused_block_stages set equals the default model
+    numerically (CPU lowers both to XLA; param tree unchanged)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+
+    cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+    cfg2 = TinyViTConfig.test_tiny(
+        dtype=jnp.float32, fused_block_stages=(1, 2, 3)
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    m1, m2 = TinyViT(cfg), TinyViT(cfg2)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v2
+    )
+    a = np.asarray(m1.apply(v, x))
+    b = np.asarray(m2.apply(v, x))
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
