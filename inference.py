@@ -18,13 +18,27 @@ from geoguessr_ai_tpu.utils.logging import logger
 _ENGINES = {}
 
 
-def _get_engine(backbone: str, checkpoint: Optional[str]):
-    key = (backbone, checkpoint)
+def _get_engine(backbone: str, checkpoint: Optional[str],
+                centroid_table: Optional[str] = None):
+    key = (backbone, checkpoint, centroid_table)
     if key not in _ENGINES:
+        import os
+
         from geoguessr_ai_tpu.serving.engine import ServingEngine
 
+        # An imported checkpoint's cell ordering travels with ITS table
+        # (tools/import_checkpoint.py --proto-df sidecar) — auto-detect.
+        if centroid_table is None and checkpoint:
+            sidecar = checkpoint.rstrip("/") + "_centroids.npz"
+            if os.path.exists(sidecar):
+                centroid_table = sidecar
+        table = None
+        if centroid_table:
+            from geoguessr_ai_tpu.geocells.manager import CentroidTable
+
+            table = CentroidTable.load(centroid_table)
         _ENGINES[key] = ServingEngine(
-            backbone=backbone, checkpoint=checkpoint
+            backbone=backbone, checkpoint=checkpoint, centroid_table=table
         )
     return _ENGINES[key]
 
@@ -35,6 +49,7 @@ def run_inference(
     use_refiner: bool = False,
     checkpoint: Optional[str] = None,
     device=None,
+    centroid_table: Optional[str] = None,
 ) -> Tuple[float, float, List[int], List[float]]:
     """Predict (lat, lon) for 1 or 4 street-view images.
 
@@ -42,7 +57,7 @@ def run_inference(
     `device` is accepted for compatibility and ignored — placement is
     governed by the JAX platform.
     """
-    engine = _get_engine(backbone, checkpoint)
+    engine = _get_engine(backbone, checkpoint, centroid_table)
     result = engine.predict_images(image_paths)
     lat, lon = result.lat, result.lon
     top_ids, top_probs = result.top_ids, result.top_probs
@@ -72,6 +87,9 @@ def main() -> None:
         "--backbone", default="tinyvit", choices=("tinyvit", "clip")
     )
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--centroid-table", default=None,
+                    help="centroid .npz matching the checkpoint's ordering "
+                    "(auto-detects the import tool's _centroids.npz sidecar)")
     ap.add_argument("--use-refiner", action="store_true")
     args = ap.parse_args()
 
@@ -111,6 +129,7 @@ def main() -> None:
         backbone=args.backbone,
         use_refiner=args.use_refiner,
         checkpoint=args.checkpoint,
+        centroid_table=args.centroid_table,
     )
     if run is not None:
         try:
