@@ -57,6 +57,24 @@ def bench(fn, blobs, seconds=4.0):
     return n / (time.perf_counter() - t0)
 
 
+def proc_worker(seconds: float) -> float:
+    """Decode loop for the multi-process scaling probe (top level: spawn
+    workers must pickle it)."""
+    from geoguessr_ai_tpu.data.native import jpeg as nj
+    from geoguessr_ai_tpu.data.pipeline import _pil_decode as pd
+
+    blobs_l = [make_jpeg(seed=i) for i in range(4)]
+    if nj.available():
+        fn = lambda b: nj.decode_resize(b, 512)  # noqa: E731
+    else:
+        fn = lambda b: pd(b, 512)  # noqa: E731
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        fn(blobs_l[n % 4])
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def main() -> None:
     from geoguessr_ai_tpu.data.pipeline import _pil_decode
     from geoguessr_ai_tpu.data.native import jpeg as native_jpeg
@@ -79,6 +97,29 @@ def main() -> None:
         results["native_batch8_img_per_s_per_core"] = round(
             bench(batch, blobs) * 8, 1
         )
+    # Multi-PROCESS probe (round-3 VERDICT weak #5): on this 1-core box
+    # the many-core projection assumes per-process overhead ~0.  N worker
+    # processes time-share one core; if aggregate throughput holds at
+    # the 1-process rate, process overhead is negligible and the
+    # per-core rate extrapolates linearly with cores.
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    scaling = {}
+    ctx = mp.get_context("spawn")
+    for nproc in (1, 2, 4):
+        with cf.ProcessPoolExecutor(nproc, mp_context=ctx) as pool:
+            rates = list(pool.map(proc_worker, [4.0] * nproc))
+        scaling[str(nproc)] = round(sum(rates), 1)
+    results["multiprocess_aggregate_img_per_s"] = scaling
+    results["process_overhead_frac"] = round(
+        1.0 - scaling["4"] / max(scaling["1"], 1e-9), 3
+    )
+    results["note"] = (
+        "cores_to_saturate_device is a PROJECTION from the 1-core rate; "
+        "the multiprocess probe bounds per-process overhead"
+    )
+
     device_img_per_s = 705.0  # measured bench.py forward capacity
     per_core = results.get(
         "native_img_per_s_per_core",
