@@ -108,15 +108,18 @@ class TinyViTConfig:
     #: contraction runs at 1/4 MXU depth either way and XLA schedules the
     #: softmax/probs traffic well at N=1024) — XLA remains its default.
     #: () disables Pallas entirely.
-    pallas_attention_stages: Tuple[int, ...] = (1, 3)
+    pallas_attention_stages: Tuple[int, ...] = (3,)
     #: Fully-fused block-attention kernel (LN + qkv GEMM + attention +
     #: out-proj in ONE pallas_call; ops/window_attention.py
     #: fused_block_attention) for the small-N stages — removes the qkv
     #: tensor's HBM round-trip and the pallas-boundary layout copies the
     #: round-3 per-fusion profile found (~12 ms at stage 1).  Takes
     #: precedence over pallas_attention_stages for listed stages.
-    #: Measured before changing the default.
-    fused_block_stages: Tuple[int, ...] = ()
+    #: MEASURED e2e (v5e, B=320 bf16): stage-1 fused-block + stage-3 qkv
+    #: kernel = **801.5 img/s** vs 742.8 for round-2's qkv-kernel (1, 3)
+    #: default (+7.9%) — tools/exp_fused_block.py.  Stage-3 fused-block
+    #: needs the WB auto-sizing (score stack VMEM) and is being measured.
+    fused_block_stages: Tuple[int, ...] = (1,)
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":

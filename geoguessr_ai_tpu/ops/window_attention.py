@@ -539,6 +539,12 @@ def _fused_block_kernel(
     o_ref[...] = out.reshape(WB, N, C).astype(o_ref.dtype)
 
 
+#: VMEM budget for the fused-block kernel's (WB*H, N, N) f32 score
+#: stack; WB auto-sizes under it (stage 3's H=18 at WB=4 is 18.9 MB —
+#: past the ~16 MB scoped-VMEM limit, the measured compile-crash mode).
+FUSED_BLOCK_SCORE_BYTES = 8 * 1024 * 1024
+
+
 def _fused_block_pallas(
     x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
     scale, num_heads, eps, block_w=None, interpret=False,
@@ -547,6 +553,8 @@ def _fused_block_pallas(
     D = w_proj.shape[0]
     hd = D // num_heads
     wb = block_w or FUSED_BLOCK_WB
+    score_bytes = num_heads * N * N * 4
+    wb = max(1, min(wb, FUSED_BLOCK_SCORE_BYTES // score_bytes))
     while W % wb:
         wb -= 1
     dt = x.dtype
