@@ -128,11 +128,11 @@ def test_import_cli_and_proto_df(tmp_path):
         [
             sys.executable, "tools/import_checkpoint.py",
             "--pt", str(pt), "--out", str(tmp_path / "orbax"),
-            "--preset", "test_tiny", "--no-parity",
+            "--preset", "test_tiny", "--no-parity", "--cpu",
             "--proto-df", str(tmp_path / "proto_df.csv"),
             "--report", str(tmp_path / "report.json"),
         ],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1200,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     report = json.load(open(tmp_path / "report.json"))

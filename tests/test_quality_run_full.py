@@ -1,0 +1,35 @@
+"""Smoke test for tools/quality_run_full.py (round-3 VERDICT #2): the
+full-scale quality tool must run end-to-end on a small cell subset and
+emit the bench-facing fields, with the refiner wired through refine()."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_quality_run_full_smoke(tmp_path):
+    out = tmp_path / "qf.json"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [
+            sys.executable, "tools/quality_run_full.py",
+            "--platform", "cpu", "--cells", "24", "--per-cell", "2",
+            "--epochs", "2", "--batch-size", "24", "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    q = json.load(open(out))
+    assert q["quality_full_cells"] == 24
+    for k in (
+        "quality_full_val_top1",
+        "quality_full_raw_median_km",
+        "quality_full_refined_median_km",
+        "quality_full_refined_delta_km",
+        "quality_full_changed_frac",
+    ):
+        assert k in q, k
+    assert q["quality_full_val_top1"] > 2.0 / 24  # beats 2x chance

@@ -281,9 +281,11 @@ def import_checkpoint(
         report["centroid_table"] = out_dir + "_centroids.npz"
 
     state = jax.tree.map(jnp.asarray, state)
-    ocp.StandardCheckpointer().save(
-        os.path.abspath(out_dir), {"state": state}, force=True
-    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(out_dir), {"state": state}, force=True)
+    # StandardCheckpointer saves asynchronously — block until the
+    # checkpoint is on disk before reporting it usable.
+    ckptr.wait_until_finished()
     report["orbax_dir"] = os.path.abspath(out_dir)
     return report
 
@@ -301,10 +303,17 @@ def main() -> None:
                  "test_tiny"),
     )
     ap.add_argument("--no-parity", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (conversion needs no TPU; "
+                    "avoids queueing behind remote TPU compiles)")
     ap.add_argument("--proto-df", default=None,
                     help="the checkpoint's proto_df.csv (ordering contract)")
     ap.add_argument("--report", default=None, help="write report JSON here")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     report = import_checkpoint(
         args.pt, args.out, preset=args.preset,
         parity=not args.no_parity, proto_df=args.proto_df,
