@@ -42,11 +42,13 @@ def main() -> None:
     device = jax.devices()[0]
     variables = jax.device_put(variables, device)
 
-    # Production embed config (round 3): static-int8 MLP GEMMs at B=448
-    # measured 756.9+-0.1 vs bf16's 746.0+-0.2 at 448 / 742.7 at 320
-    # (docs/performance.md int8 chapter; cosine gate in tests/test_quant
-    # .py).  Calibrate scales on host CPU; plain bf16@320 is the
-    # fallback attempt if the int8 program fails here.
+    # Production embed config (round 3): fused-block kernel at stages
+    # 1+3 + static-int8 MLP GEMMs, B=512 — measured 830.5 img/s vs the
+    # round-2 742.7 baseline (+11.8%; docs/performance.md round-3
+    # chapters; cosine gates in tests/test_quant.py +
+    # tests/test_window_attention.py).  Calibrate scales on host CPU;
+    # the bf16 default config @320 (802 img/s) is the fallback attempt
+    # if the int8 program fails here.
     attempts = []
     try:
         from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
@@ -75,13 +77,17 @@ def main() -> None:
         scales = jax.device_put(jax.tree.map(jnp.asarray, stats), device)
         model_q = TinyViT(
             dataclasses.replace(
-                cfg, quant_mode="static", quant_sites=("fc1", "fc2")
+                cfg,
+                fused_block_stages=(1, 3),
+                pallas_attention_stages=(),
+                quant_mode="static",
+                quant_sites=("fc1", "fc2"),
             )
         )
         attempts.append(
             (
-                "int8-mlp",
-                448,
+                "fused-block+int8-mlp",
+                512,
                 jax.jit(
                     lambda v, x: model_q.apply({**v, "act_scales": scales}, x)
                 ),
@@ -140,7 +146,7 @@ def main() -> None:
         )
         if panos_per_s > best:
             best, best_bs, best_variant = panos_per_s, batch_imgs, variant
-        if variant == "int8-mlp" and panos_per_s > 0:
+        if variant != "bf16" and panos_per_s > 0:
             break  # primary path measured; skip the fallback compile
 
     record = {
