@@ -352,3 +352,28 @@ def test_geocell_universe_matches_reference(ref, tmp_path):
         )
         assert a.shape == b.shape, country
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=country)
+
+
+def test_ecef_roundtrip_matches_reference(ref):
+    """lla2ecef / ecef2lla vs the reference's own geo_utils (Bowring
+    iteration, WGS84 — geo_utils.py:110-278).  The reference root is on
+    sys.path inside the fixture, so its top-level module imports."""
+    import importlib
+
+    gu = importlib.import_module("geo_utils")
+    from geoguessr_ai_tpu.geo import ecef2lla, lla2ecef
+
+    rng = np.random.default_rng(3)
+    lnglat = np.stack(
+        [rng.uniform(-180, 180, 64), rng.uniform(-85, 85, 64)], axis=1
+    )
+    # tolerances: the repo computes in f32 (TPU-native), the reference
+    # in f64 — 1 m on Earth-radius magnitudes is f32 epsilon territory
+    want_ecef = gu.lla2ecef_np(lnglat)
+    got_ecef = np.asarray(lla2ecef(jnp.asarray(lnglat)))
+    np.testing.assert_allclose(got_ecef, want_ecef, atol=1.5)
+
+    want_back = gu.ecef2lla_np(want_ecef)
+    got_back = np.asarray(ecef2lla(jnp.asarray(got_ecef)))
+    np.testing.assert_allclose(got_back[:, :2], want_back[:, :2],
+                               atol=2e-4)  # ~20 m in degrees
