@@ -69,6 +69,9 @@ def create_app(engine=None, backbone: str = "tinyvit",
                 state["batcher"] = batcher
         return state["batcher"]
 
+    # exposed for tests (batcher-singleton + warmup behavior)
+    app.state.get_batcher = get_batcher
+
     @app.get("/")
     def root():
         return {

@@ -60,3 +60,43 @@ def test_api_routes(fixtures_dir):
         files=[("files", ("a.jpg", blob, "image/jpeg"))] * 2,
     )
     assert r2.status_code == 400
+
+
+def test_concurrent_first_requests_share_one_batcher(monkeypatch):
+    """The get_batcher check-then-set race (round-3 ADVICE): two threads
+    hitting a cold app must construct exactly ONE MicroBatcher (split
+    queues would never coalesce) and warmup must have been kicked off."""
+    import threading
+
+    from geoguessr_ai_tpu.serving import api as api_mod
+
+    created = []
+
+    class FakeEngine:
+        image_size = 8
+
+    class FakeBatcher:
+        def __init__(self, engine, **kw):
+            created.append(self)
+            self.warmed = threading.Event()
+
+        def warmup(self, num_views=4):
+            self.warmed.set()
+
+    fastapi = pytest.importorskip("fastapi")
+    monkeypatch.setattr(
+        "geoguessr_ai_tpu.serving.engine.MicroBatcher", FakeBatcher
+    )
+    app = api_mod.create_app(engine=FakeEngine())
+    barrier = threading.Barrier(2)
+    out = []
+
+    def grab():
+        barrier.wait()
+        out.append(app.state.get_batcher())
+
+    t1, t2 = threading.Thread(target=grab), threading.Thread(target=grab)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert len(created) == 1
+    assert out[0] is out[1]
+    assert created[0].warmed.wait(5)
