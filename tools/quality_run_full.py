@@ -269,12 +269,24 @@ def main():
         tr_f, _, _, _, tr_coords = run_split(train_df)
         va_f, va_ll, va_tv, va_ti, va_coords = run_split(val_df)
 
+        def labels_chunked(coords, chunk=8192):
+            # (N, K) haversine temporaries at N=63k x K=12.6k are ~3.2 GB
+            # EACH — chunk rows so the TPU path fits HBM
+            out = []
+            for i in range(0, len(coords), chunk):
+                out.append(
+                    np.asarray(
+                        nearest_centroid_labels(
+                            jnp.asarray(coords[i : i + chunk]), centroids
+                        )
+                    )
+                )
+            return np.concatenate(out)
+
         # bank: P = per_cell prototypes per cell — each TRAIN location is
         # its own cluster (embedding + true coords), the finest
         # within-cell structure the refiner can exploit
-        labels = np.asarray(
-            nearest_centroid_labels(jnp.asarray(tr_coords), centroids)
-        )
+        labels = labels_chunked(tr_coords)
         P = args.per_cell
         bank_emb = np.zeros((K, P, D), np.float32)
         bank_coords = np.zeros((K, P, 2), np.float32)
@@ -298,9 +310,7 @@ def main():
             jnp.asarray(va_ll),
             max_refinement_km=2500.0,
         )
-        true_labels = np.asarray(
-            nearest_centroid_labels(jnp.asarray(va_coords), centroids)
-        )
+        true_labels = labels_chunked(va_coords)
         d_raw = np.asarray(
             haversine(jnp.asarray(va_coords), jnp.asarray(va_ll))
         )
