@@ -292,9 +292,14 @@ class PretrainConfig:
 class EmbedBuildConfig:
     """Embedding-dataset builder (reference s3bucket.py:786-1396)."""
 
-    #: per chip.  Reference uses 512/GPU (config.py:63); measured on v5e
-    #: the TinyViT embed forward is fastest at 320 (742 img/s vs 719 at
-    #: 512 — docs/performance.md batch sweep).
-    batch_size: int = 320
+    #: per chip.  Reference uses 512/GPU (config.py:63); round-3 sweep
+    #: with the fused-block kernels + static-int8 MLP peaks at 512
+    #: (830.5 img/s; 576+ fails to compile through the relay —
+    #: docs/performance.md round-3 chapters).
+    batch_size: int = 512
     fetch_threads: int = 64
     backbone: BackboneConfig = BackboneConfig()
+    #: "none" (bf16) or "static" — static-calibrated int8 MLP GEMMs
+    #: (TinyViT only; +1.5-2.5% measured, cosine gate 0.9999).  Scales
+    #: calibrate on the FIRST decoded batch (real data) on the host CPU.
+    quant_mode: str = "static"

@@ -28,9 +28,19 @@ from geoguessr_ai_tpu.utils.logging import logger
 
 
 class Embedder:
-    """Jit-once batch embedder over a vision backbone."""
+    """Jit-once batch embedder over a vision backbone.
 
-    def __init__(self, backbone_cfg: BackboneConfig):
+    quant_mode="static" (TinyViT only; EmbedBuildConfig default) runs
+    the measured-fastest inference config — static-calibrated int8 MLP
+    GEMMs (docs/performance.md round-3): scales calibrate on the FIRST
+    batch of REAL decoded images via a host-CPU f32 forward, then the
+    device program carries int8 dots with no data-dependent quant."""
+
+    def __init__(
+        self, backbone_cfg: BackboneConfig, quant_mode: str = "none"
+    ):
+        import dataclasses as _dc
+
         import jax
         import jax.numpy as jnp
 
@@ -40,6 +50,7 @@ class Embedder:
         module, mean, std, image_size = build_backbone(backbone_cfg)
         self.image_size = image_size
         self.embed_dim = backbone_cfg.embed_dim
+        self._mean, self._std = mean, std
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             self.variables = module.init(
@@ -56,12 +67,84 @@ class Embedder:
 
         self._embed = jax.jit(embed)
 
+        self.quant_mode = (
+            quant_mode if backbone_cfg.name == "tinyvit" else "none"
+        )
+        self._act_scales = None
+        if self.quant_mode == "static":
+            from geoguessr_ai_tpu.models.tinyvit import (
+                TinyViT,
+                TinyViTConfig,
+            )
+
+            base = TinyViTConfig.tiny_vit_21m_512()
+            self._cal_model = TinyViT(
+                _dc.replace(
+                    base, dtype=jnp.float32, quant_mode="calibrate"
+                )
+            )
+            mq = TinyViT(
+                _dc.replace(
+                    base,
+                    quant_mode="static",
+                    quant_sites=("fc1", "fc2"),
+                    fused_block_stages=(1, 3),
+                    pallas_attention_stages=(),
+                )
+            )
+
+            def embed_q(variables, scales, images_u8):
+                x = fused_preprocess(
+                    images_u8, tuple(mean), tuple(std), image_size
+                )
+                return mq.apply(
+                    {**variables, "act_scales": scales}, x
+                ).astype(jnp.float32)
+
+            self._embed_q = jax.jit(embed_q)
+
+    def _calibrate(self, images_u8: np.ndarray) -> None:
+        """One host-CPU f32 forward on (a slice of) the first real batch
+        records per-site activation abs-max."""
+        import jax
+        import jax.numpy as jnp
+
+        from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+        cpu = jax.devices("cpu")[0]
+        n = min(8, images_u8.shape[0])
+        x = (
+            images_u8[:n].astype(np.float32) / 255.0
+            - np.asarray(self._mean, np.float32)
+        ) / np.asarray(self._std, np.float32)
+        with jax.default_device(cpu):
+            stats = calibrate_act_stats(
+                jax.jit(
+                    lambda v, xx: self._cal_model.apply(
+                        v, xx, mutable=["act_stats"]
+                    )
+                ),
+                jax.device_put(self.variables, cpu),
+                [jnp.asarray(x)],
+            )
+        self._act_scales = jax.device_put(
+            jax.tree.map(jnp.asarray, stats), jax.devices()[0]
+        )
+
     def load_params(self, variables) -> None:
         import jax
 
         self.variables = jax.device_put(variables, jax.devices()[0])
+        self._act_scales = None  # recalibrate for the new weights
 
     def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+        # getattr: test doubles subclass Embedder without running __init__
+        if getattr(self, "quant_mode", "none") == "static":
+            if self._act_scales is None:
+                self._calibrate(images_u8)
+            return np.asarray(
+                self._embed_q(self.variables, self._act_scales, images_u8)
+            )
         return np.asarray(self._embed(self.variables, images_u8))
 
 
@@ -99,7 +182,9 @@ def build_embedding_sqlite(
         lo, hi = host_shard_range(len(df))
         df = df.iloc[lo:hi]
     total = len(df)
-    embedder = embedder or Embedder(cfg.backbone)
+    embedder = embedder or Embedder(
+        cfg.backbone, quant_mode=getattr(cfg, "quant_mode", "none")
+    )
     meter = ThroughputMeter(
         mode=f"embed_{cfg.backbone.name}", total=total, log_fn=log_fn
     )
