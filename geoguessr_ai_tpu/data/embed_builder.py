@@ -156,11 +156,18 @@ def build_embedding_sqlite(
     limit: Optional[int] = None,
     log_fn=None,
     predecoded: bool = False,
+    resume: bool = True,
 ) -> int:
     """Embed every image row of a raw SQLite into an embedding SQLite.
 
     Returns rows written.  Telemetry records mode/processed/total/
     throughput_img_per_s/phase like the reference (s3bucket.py:960-970).
+
+    resume=True skips (location_id, heading) rows already present in an
+    existing out_sqlite, so a killed build restarts where it stopped —
+    the reference's ledger-resume pattern (street_view_images_collection/
+    main.py:245-263) applied to the embedding builder; the WAL writer's
+    INSERT OR REPLACE keeps re-runs idempotent either way.
 
     predecoded=True decodes the WHOLE shard to uint8 up front and streams
     in-memory batches to the device — decouples device throughput from
@@ -168,9 +175,27 @@ def build_embedding_sqlite(
     few cores (this image has 1; per-core decode rates in
     tools/bench_host_decode.py ground the many-core host projection).
     """
+    import os
+
     df = load_sqlite_dataset(src_sqlite)
     if limit:
         df = df.iloc[:limit]
+    if resume and os.path.exists(out_sqlite):
+        import sqlite3
+
+        with sqlite3.connect(f"file:{out_sqlite}?mode=ro", uri=True) as c:
+            done = set(
+                c.execute("SELECT location_id, heading FROM samples")
+            )
+        if done:
+            keys = list(zip(df["location_id"], df["heading"].astype(int)))
+            mask = np.asarray([k not in done for k in keys])
+            skipped = int((~mask).sum())
+            if skipped:
+                logger.info(
+                    f"resume: skipping {skipped} already-embedded rows"
+                )
+            df = df[mask]
     # Multi-host: each host embeds its own row shard (the TPU analog of
     # the reference's Accelerate gather across GPUs, preprocessing/
     # embed.py:36-38 — shards recombine by concatenating the SQLites).

@@ -115,3 +115,33 @@ def test_build_embedding_sqlite_predecoded_matches(raw_sqlite, tmp_path):
     b = read_embeddings(out_b).sort_values("location_id")
     for ea, eb in zip(a["embedding"], b["embedding"]):
         np.testing.assert_allclose(ea, eb, atol=1e-6)
+
+
+def test_builder_resume_skips_done_rows(tmp_path, raw_sqlite):
+    """A killed build restarts where it stopped: the second invocation
+    embeds only the rows missing from the output SQLite."""
+    import sqlite3
+
+    from geoguessr_ai_tpu.config import EmbedBuildConfig
+    from geoguessr_ai_tpu.data.embed_builder import build_embedding_sqlite
+
+    out = str(tmp_path / "emb_resume.sqlite")
+    cfg = EmbedBuildConfig(batch_size=4, fetch_threads=2, quant_mode="none")
+    tiny_embedder = _TinyEmbedder()
+    # first pass: only 5 rows
+    n1 = build_embedding_sqlite(
+        raw_sqlite, out, cfg, embedder=tiny_embedder, limit=5
+    )
+    assert n1 == 5
+    # second pass over everything resumes past the 5
+    n2 = build_embedding_sqlite(
+        raw_sqlite, out, cfg, embedder=tiny_embedder
+    )
+    with sqlite3.connect(out) as c:
+        total = c.execute("SELECT COUNT(*) FROM samples").fetchone()[0]
+    assert n2 == total - 5
+    # a third run is a no-op
+    n3 = build_embedding_sqlite(
+        raw_sqlite, out, cfg, embedder=tiny_embedder
+    )
+    assert n3 == 0
