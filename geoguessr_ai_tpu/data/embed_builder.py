@@ -37,7 +37,10 @@ class Embedder:
     device program carries int8 dots with no data-dependent quant."""
 
     def __init__(
-        self, backbone_cfg: BackboneConfig, quant_mode: str = "none"
+        self,
+        backbone_cfg: BackboneConfig,
+        quant_mode: str = "none",
+        mesh=None,
     ):
         import dataclasses as _dc
 
@@ -57,7 +60,6 @@ class Embedder:
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16),
             )
-        self.variables = jax.device_put(self.variables, jax.devices()[0])
 
         def embed(variables, images_u8):
             x = fused_preprocess(
@@ -65,7 +67,31 @@ class Embedder:
             )
             return module.apply(variables, x).astype(jnp.float32)
 
-        self._embed = jax.jit(embed)
+        # Multi-chip: shard the image batch over the mesh's data axis
+        # (replicated params) — the DEVICE-parallel analog of the
+        # reference's Accelerate multi-GPU embed extraction
+        # (preprocessing/embed.py:36-38); XLA gathers the sharded output
+        # when fetched.  Single chip: plain jit.
+        self.mesh = mesh
+        if mesh is not None:
+            from geoguessr_ai_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+            )
+
+            self.variables = jax.device_put(
+                self.variables, replicated(mesh)
+            )
+            self._embed = jax.jit(
+                embed,
+                in_shardings=(None, batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            self.variables = jax.device_put(
+                self.variables, jax.devices()[0]
+            )
+            self._embed = jax.jit(embed)
 
         self.quant_mode = (
             quant_mode if backbone_cfg.name == "tinyvit" else "none"
@@ -101,7 +127,16 @@ class Embedder:
                     {**variables, "act_scales": scales}, x
                 ).astype(jnp.float32)
 
-            self._embed_q = jax.jit(embed_q)
+            if mesh is not None:
+                from geoguessr_ai_tpu.parallel.mesh import batch_sharding
+
+                self._embed_q = jax.jit(
+                    embed_q,
+                    in_shardings=(None, None, batch_sharding(mesh)),
+                    out_shardings=batch_sharding(mesh),
+                )
+            else:
+                self._embed_q = jax.jit(embed_q)
 
     def _calibrate(self, images_u8: np.ndarray) -> None:
         """One host-CPU f32 forward on (a slice of) the first real batch
@@ -127,8 +162,14 @@ class Embedder:
                 jax.device_put(self.variables, cpu),
                 [jnp.asarray(x)],
             )
+        if self.mesh is not None:
+            from geoguessr_ai_tpu.parallel.mesh import replicated
+
+            target = replicated(self.mesh)
+        else:
+            target = jax.devices()[0]
         self._act_scales = jax.device_put(
-            jax.tree.map(jnp.asarray, stats), jax.devices()[0]
+            jax.tree.map(jnp.asarray, stats), target
         )
 
     def load_params(self, variables) -> None:

@@ -145,3 +145,50 @@ def test_builder_resume_skips_done_rows(tmp_path, raw_sqlite):
         raw_sqlite, out, cfg, embedder=tiny_embedder
     )
     assert n3 == 0
+
+
+def test_mesh_sharded_embedder_matches_single_device(raw_sqlite, tmp_path):
+    """Mesh-sharded batch embedding (the device-parallel analog of the
+    reference's Accelerate embed extraction, preprocessing/embed.py:36-38)
+    produces the same embeddings as the single-device path on the
+    8-virtual-device CPU mesh."""
+    import jax
+    import numpy as np
+
+    from geoguessr_ai_tpu.config import EmbedBuildConfig
+    from geoguessr_ai_tpu.data.embed_builder import build_embedding_sqlite
+    from geoguessr_ai_tpu.data.sqlite_dataset import read_embeddings
+    from geoguessr_ai_tpu.parallel.mesh import create_mesh
+    from geoguessr_ai_tpu.config import MeshConfig
+
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+
+    emb_single = _TinyEmbedder()
+    emb_mesh = _TinyEmbedder()
+    # re-jit the mesh variant through the production ctor logic by
+    # grafting the sharded step: use the public Embedder API instead
+    from geoguessr_ai_tpu.parallel.mesh import batch_sharding, replicated
+    import jax.numpy as jnp
+
+    emb_mesh.variables = jax.device_put(emb_mesh.variables, replicated(mesh))
+    inner = emb_mesh._embed
+    emb_mesh._embed = jax.jit(
+        lambda v, x: inner(v, x),
+        in_shardings=(None, batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+    cfg = EmbedBuildConfig(batch_size=8, fetch_threads=2, quant_mode="none")
+    out_a = str(tmp_path / "single.sqlite")
+    out_b = str(tmp_path / "mesh.sqlite")
+    assert build_embedding_sqlite(
+        raw_sqlite, out_a, cfg, embedder=emb_single
+    ) == 10
+    assert build_embedding_sqlite(
+        raw_sqlite, out_b, cfg, embedder=emb_mesh
+    ) == 10
+    a = read_embeddings(out_a).sort_values(["location_id", "heading"])
+    b = read_embeddings(out_b).sort_values(["location_id", "heading"])
+    for ea, eb in zip(a["embedding"], b["embedding"]):
+        np.testing.assert_allclose(ea, eb, rtol=1e-5, atol=1e-5)
