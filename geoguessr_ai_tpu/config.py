@@ -303,3 +303,8 @@ class EmbedBuildConfig:
     #: (TinyViT only; +1.5-2.5% measured, cosine gate 0.9999).  Scales
     #: calibrate on the FIRST decoded batch (real data) on the host CPU.
     quant_mode: str = "static"
+    #: 0 = single device; N>1 (or -1 = all local devices) shards each
+    #: image batch over a data-axis mesh — device-parallel embed
+    #: extraction (the reference's Accelerate gather, preprocessing/
+    #: embed.py:36-38).  batch_size is the GLOBAL batch.
+    data_parallel: int = 0

@@ -248,9 +248,21 @@ def build_embedding_sqlite(
         lo, hi = host_shard_range(len(df))
         df = df.iloc[lo:hi]
     total = len(df)
-    embedder = embedder or Embedder(
-        cfg.backbone, quant_mode=getattr(cfg, "quant_mode", "none")
-    )
+    if embedder is None:
+        mesh = None
+        dp = getattr(cfg, "data_parallel", 0)
+        if dp and dp != 1:
+            from geoguessr_ai_tpu.config import MeshConfig
+            from geoguessr_ai_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(
+                MeshConfig(data_parallel=dp, model_parallel=1)
+            )
+        embedder = Embedder(
+            cfg.backbone,
+            quant_mode=getattr(cfg, "quant_mode", "none"),
+            mesh=mesh,
+        )
     meter = ThroughputMeter(
         mode=f"embed_{cfg.backbone.name}", total=total, log_fn=log_fn
     )
