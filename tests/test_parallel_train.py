@@ -307,3 +307,60 @@ def test_grad_accum_with_batch_stats_runs():
     # BN stats actually updated through the scan carry
     new_stats = jax.tree_util.tree_leaves(state2.batch_stats)[0]
     assert not np.allclose(np.asarray(old_stats), np.asarray(new_stats))
+
+
+def test_grad_accum_under_mesh_shardings():
+    """Scanned microbatching composes with data-axis sharding: the
+    (B, ...) -> (k, B/k, ...) reshape splits the sharded batch dim and
+    GSPMD must still produce the same update as the unsharded step."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.config import MeshConfig, OptimizerConfig
+    from geoguessr_ai_tpu.models.super_guessr import SuperGuessr
+    from geoguessr_ai_tpu.parallel.mesh import batch_sharding, create_mesh
+    from geoguessr_ai_tpu.train.state import create_train_state
+    from geoguessr_ai_tpu.train.steps import make_sharded_steps, train_step
+
+    K, D, B = 11, 16, 16
+    rng = np.random.default_rng(2)
+    model = SuperGuessr(
+        num_cells=K, backbone=None, panorama=True, embed_dim=D,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), embedding=jnp.zeros((1, 4, D))
+    )
+    centroids = jnp.asarray(
+        np.stack([rng.uniform(-170, 170, K), rng.uniform(-60, 60, K)], -1),
+        jnp.float32,
+    )
+    batch = {
+        "embedding": jnp.asarray(rng.normal(0, 1, (B, 4, D)), jnp.float32),
+        "coords": jnp.asarray(
+            np.stack([rng.uniform(-170, 170, B), rng.uniform(-60, 60, B)], -1),
+            jnp.float32,
+        ),
+    }
+    mesh = create_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    jit_train, _ = make_sharded_steps(mesh, grad_accum_steps=2)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+
+    def fresh():
+        return create_train_state(model, variables, OptimizerConfig(), 10)
+
+    s_sharded, m_sharded = jit_train(fresh(), sharded_batch, centroids)
+    s_plain, m_plain = train_step(
+        fresh(), batch, centroids, grad_accum_steps=2,
+        accum_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        float(m_sharded["loss"]), float(m_plain["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_sharded.params),
+        jax.tree_util.tree_leaves(s_plain.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
