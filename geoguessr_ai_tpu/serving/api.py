@@ -38,16 +38,21 @@ def create_app(engine=None, backbone: str = "tinyvit",
         "engine": engine,
         "submissions": {},
         "counter": itertools.count(1),
-        "lock": threading.Lock(),
+        # RLock: get_batcher() constructs the engine while already
+        # holding the lock
+        "lock": threading.RLock(),
     }
 
     def get_engine():
-        if state["engine"] is None:
-            from geoguessr_ai_tpu.serving.engine import ServingEngine
+        # same check-then-set discipline as the batcher: two concurrent
+        # first requests must not each build (and compile) an engine
+        with state["lock"]:
+            if state["engine"] is None:
+                from geoguessr_ai_tpu.serving.engine import ServingEngine
 
-            state["engine"] = ServingEngine(
-                backbone=backbone, checkpoint=checkpoint
-            )
+                state["engine"] = ServingEngine(
+                    backbone=backbone, checkpoint=checkpoint
+                )
         return state["engine"]
 
     def get_batcher():
