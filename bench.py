@@ -183,7 +183,12 @@ def main() -> None:
 
 def measure_p50_latency(n: int = 15) -> dict:
     """p50 single-panorama guess latency through ServingEngine (the
-    inference.py serving path), fixture panorama, B=1."""
+    inference.py serving path), fixture panorama, B=1.
+
+    The timed loop covers the FULL per-request path the reference's
+    guess endpoint runs — JPEG decode of all four headings included
+    (reference inference.py:158-170 decodes per request) — not just the
+    device forward."""
     import glob
     import os
 
@@ -199,17 +204,19 @@ def measure_p50_latency(n: int = 15) -> dict:
             )
         )
     )
-    views = np.stack(
-        [
-            decode_jpeg(open(p, "rb").read(), engine.image_size)
-            for p in fixtures
-        ]
-    )[None]
-    engine.predict_batch(views)  # compile
+    blobs = [open(p, "rb").read() for p in fixtures]
+
+    def guess():
+        views = np.stack(
+            [decode_jpeg(b, engine.image_size) for b in blobs]
+        )[None]
+        return engine.predict_batch(views)
+
+    guess()  # compile
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        engine.predict_batch(views)
+        guess()
         times.append((time.perf_counter() - t0) * 1e3)
     return {
         "p50_guess_latency_ms": round(float(np.percentile(times, 50)), 1),

@@ -242,15 +242,25 @@ class CheckpointStore:
 
         import jax as _jax
 
+        meta_template = {
+            "epoch": np.zeros((), np.int64),
+            "monitored_value": np.zeros((), np.float64),
+            "best_value": np.zeros((), np.float64),
+            # Loop/logging step counter (reference restores epoch AND step,
+            # main_coordinator_idun.py:268-283).  Older checkpoints lack the
+            # key; the fallback below retries without it.
+            "global_step": np.zeros((), np.int64),
+        }
         template = {
             "state": _jax.tree_util.tree_map(as_abstract, target),
-            "meta": {
-                "epoch": np.zeros((), np.int64),
-                "monitored_value": np.zeros((), np.float64),
-                "best_value": np.zeros((), np.float64),
-            },
+            "meta": dict(meta_template),
         }
-        restored = self._ckptr.restore(path, target=template)
+        try:
+            restored = self._ckptr.restore(path, target=template)
+        except Exception:
+            template["meta"].pop("global_step")
+            restored = self._ckptr.restore(path, target=template)
+            restored["meta"]["global_step"] = np.zeros((), np.int64)
         return restored["state"], restored["meta"]
 
     def has(self, name: str) -> bool:

@@ -216,6 +216,7 @@ def train(
     store = None
     best_value: Optional[float] = None
     start_epoch = 0
+    resume_step = 0
     if checkpoint_dir:
         store = CheckpointStore(
             CheckpointConfig(
@@ -243,17 +244,19 @@ def train(
             )
             start_epoch = int(meta["epoch"]) + 1
             best_value = float(meta["best_value"])
+            resume_step = int(meta.get("global_step", 0))
             logger.info(
                 f"resumed from {cfg.resume_path} (epoch {start_epoch - 1}, "
-                f"best={best_value:.6f})"
+                f"step {resume_step}, best={best_value:.6f})"
             )
         elif store.has("last"):
             state, meta = store.restore(state, "last")
             start_epoch = int(meta["epoch"]) + 1
             best_value = float(meta["best_value"])
+            resume_step = int(meta.get("global_step", 0))
             logger.info(
                 f"resumed from epoch {start_epoch - 1}, "
-                f"best={best_value:.6f}"
+                f"step {resume_step}, best={best_value:.6f}"
             )
 
     mlog = metrics_logger or MetricsLogger(run_config=dataclasses.asdict(cfg))
@@ -298,28 +301,39 @@ def train(
         )
 
     def run_validation(step):
-        agg = []
+        agg, dists = [], []
         it = make_iter(pano_val)
         for batch in prefetch_to_device(
             it, device=data_shard, depth=cfg.prefetch_depth
         ):
-            agg.append(jit_eval(state, preprocess(batch), centroids))
+            m = dict(jit_eval(state, preprocess(batch), centroids))
+            dists.append(np.asarray(m.pop("dist_km")))
+            agg.append(m)
         if not agg:
             return {}
         out = {
             f"val_{k}": float(np.mean([float(m[k]) for m in agg]))
             for k in agg[0]
         }
+        # True whole-split median over every validation sample — the
+        # reference medians over the full result set
+        # (run_benchmark.py:284-295); a mean of per-batch medians can
+        # diverge substantially at 2-5 val batches and would mislead
+        # early stopping when monitored_metric is val_median_km.
+        out["val_median_km"] = float(np.median(np.concatenate(dists)))
         mlog.log(out, step)
         return out
 
-    global_step = 0
+    # Resume the loop/logging counter too (reference restores epoch AND
+    # step, main_coordinator_idun.py:268-283) so W&B step numbering and
+    # the eval_every_steps cadence survive restarts.
+    global_step = resume_step
     stale_epochs = 0
     # If resume already covered all epochs the loop body never runs;
     # report the resumed position instead of an empty summary.
     summary: Dict = {
         "epoch": start_epoch - 1,
-        "global_step": 0,
+        "global_step": resume_step,
         "best_value": best_value,
         "monitored_value": best_value if best_value is not None else float("nan"),
     }
@@ -378,7 +392,8 @@ def train(
         if store is not None:
             prev_best = best_value
             best_value = store.save_epoch(
-                jax.device_get(state), epoch, monitored, best_value
+                jax.device_get(state), epoch, monitored, best_value,
+                extra={"global_step": np.asarray(global_step, np.int64)},
             )
             improved = (
                 not np.isnan(best_value)

@@ -36,11 +36,16 @@ from geoguessr_ai_tpu.models.super_guessr import (
 from geoguessr_ai_tpu.train.state import TrainState
 
 
-def _metrics(logits, coords, centroids, loss):
+def _metrics(logits, coords, centroids, loss, with_distances=False):
     """top-1/top-5 geocell accuracy + km error + score, all on device.
 
     Matches the reference metric set (main_coordinator_idun.py:359-368,
-    run_benchmark.py:50-117)."""
+    run_benchmark.py:50-117).  ``with_distances`` additionally returns the
+    per-sample km-error vector under ``"dist_km"`` so callers that
+    aggregate across batches can compute the TRUE whole-split median
+    (the reference medians over the full result set,
+    run_benchmark.py:284-295 — a mean of per-batch medians diverges at
+    small batch counts)."""
     labels = nearest_centroid_labels(coords, centroids)
     k = min(5, centroids.shape[0])
     _, preds, pred_lnglat, top5 = decode_predictions(logits, centroids, k)
@@ -49,7 +54,7 @@ def _metrics(logits, coords, centroids, loss):
         jnp.any(top5.indices == labels[:, None], axis=-1).astype(jnp.float32)
     )
     dist_km = haversine(coords, pred_lnglat)
-    return {
+    out = {
         "loss": loss,
         "top1": top1,
         "top5": top5_acc,
@@ -57,6 +62,9 @@ def _metrics(logits, coords, centroids, loss):
         "median_km": jnp.median(dist_km),
         "score": jnp.mean(geoguessr_score(dist_km)),
     }
+    if with_distances:
+        out["dist_km"] = dist_km
+    return out
 
 
 def train_step(
@@ -179,7 +187,9 @@ def eval_step(
         train=False,
     )
     loss = smoothed_soft_ce(logits, batch["coords"], centroids)
-    return _metrics(logits, batch["coords"], centroids, loss)
+    return _metrics(
+        logits, batch["coords"], centroids, loss, with_distances=True
+    )
 
 
 def make_sharded_steps(

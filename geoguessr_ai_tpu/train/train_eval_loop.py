@@ -155,7 +155,10 @@ def evaluate_model(
         )
     if not agg:
         return {}
+    dists = [np.asarray(m.pop("dist_km")) for m in agg]
     out = {k: float(np.mean([float(m[k]) for m in agg])) for k in agg[0]}
+    # whole-set median, not mean-of-batch-medians (run_benchmark.py:284-295)
+    out["median_km"] = float(np.median(np.concatenate(dists)))
     if refiner is not None:
         out["refined"] = True  # refinement is applied per-batch by callers
     return out

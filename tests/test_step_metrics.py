@@ -34,6 +34,38 @@ def test_metrics_hand_computed():
     assert abs(m["score"] - want) < 6.0
 
 
+def test_eval_distances_give_true_split_median():
+    """eval_step exposes per-sample distances so callers can compute the
+    TRUE whole-split median (reference run_benchmark.py:284-295) instead
+    of a mean of per-batch medians — the two diverge on skewed splits."""
+    centroids = jnp.asarray(
+        [[10.75, 59.91], [10.40, 63.43], [151.21, -33.87]], jnp.float32
+    )
+    # batch 1: both correct (0 km); batch 2: one correct, one ~392 km off
+    batches = [
+        (
+            jnp.asarray([[10.75, 59.91], [10.75, 59.91]], jnp.float32),
+            jnp.asarray([[5.0, 1.0, -2.0], [5.0, 1.0, -2.0]], jnp.float32),
+        ),
+        (
+            jnp.asarray([[10.75, 59.91], [10.40, 63.43]], jnp.float32),
+            jnp.asarray([[5.0, 1.0, -2.0], [4.0, 3.0, -2.0]], jnp.float32),
+        ),
+    ]
+    dists, medians = [], []
+    for coords, logits in batches:
+        m = _metrics(
+            logits, coords, centroids, jnp.asarray(0.0), with_distances=True
+        )
+        assert m["dist_km"].shape == (2,)
+        dists.append(np.asarray(m["dist_km"]))
+        medians.append(float(m["median_km"]))
+    true_median = float(np.median(np.concatenate(dists)))
+    mean_of_medians = float(np.mean(medians))
+    assert true_median < 1e-3  # 3 of 4 samples are exact
+    assert mean_of_medians > 90.0  # the biased aggregate would mislead
+
+
 def test_metrics_perfect_predictions():
     centroids = jnp.asarray([[0.0, 0.0], [90.0, 45.0]], jnp.float32)
     coords = jnp.asarray([[0.0, 0.0], [90.0, 45.0]], jnp.float32)

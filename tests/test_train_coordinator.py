@@ -134,9 +134,12 @@ def test_train_end_to_end_with_checkpoints(
     assert "last" in names and "best" in names
     assert any(n.startswith("epoch_") for n in names)
 
-    # resume: second run starts from saved epoch
+    # resume: second run starts from saved epoch AND saved global_step
+    # (reference restores both, main_coordinator_idun.py:268-283) — step
+    # numbering must continue from the checkpoint, not restart at 0
     summary2 = _tiny_train(tiny_cfg, dataset, centroid_table, ckpt_dir, 2)
     assert summary2["epoch"] >= summary["epoch"]
+    assert summary2["global_step"] >= summary["global_step"] > 0
 
 
 def test_checkpoint_store_topk_pruning(tmp_path):
