@@ -175,7 +175,18 @@ class Embedder:
     def load_params(self, variables) -> None:
         import jax
 
-        self.variables = jax.device_put(variables, jax.devices()[0])
+        # Mirror __init__'s placement: a mesh-mode Embedder's jitted
+        # sharded embed needs mesh-replicated params — pinning to
+        # devices()[0] would hand the sharded program single-device-
+        # committed params (placement error / silent unsharded fallback).
+        # getattr: test doubles subclass Embedder without running __init__.
+        if getattr(self, "mesh", None) is not None:
+            from geoguessr_ai_tpu.parallel.mesh import replicated
+
+            target = replicated(self.mesh)
+        else:
+            target = jax.devices()[0]
+        self.variables = jax.device_put(variables, target)
         self._act_scales = None  # recalibrate for the new weights
 
     def __call__(self, images_u8: np.ndarray) -> np.ndarray:

@@ -112,50 +112,75 @@ def create_app(engine=None, backbone: str = "tinyvit",
         blobs = [await f.read() for f in files]
         with state["lock"]:
             sid = next(state["counter"])
-            state["submissions"][sid] = {"blobs": blobs, "result": None}
-            # bound memory: evict oldest submissions beyond 1000
-            while len(state["submissions"]) > 1000:
-                state["submissions"].pop(next(iter(state["submissions"])))
+            state["submissions"][sid] = {
+                "blobs": blobs,
+                "result": None,
+                # per-submission lock: concurrent polls for the same id
+                # must not each run a device predict
+                "lock": threading.Lock(),
+            }
+            # Bound memory: evict oldest completed submissions beyond
+            # 1000.  In-flight/unfetched ones (result None) are spared so
+            # a slow poller doesn't 404 — unless the map hits the hard
+            # cap (2000), where oldest-regardless keeps memory bounded.
+            subs = state["submissions"]
+            if len(subs) > 1000:
+                for old_sid in [
+                    s for s, sub in subs.items()
+                    if sub["result"] is not None
+                ][: len(subs) - 1000]:
+                    subs.pop(old_sid)
+            while len(subs) > 2000:
+                subs.pop(next(iter(subs)))
         return {"submission_id": sid, "num_images": len(blobs)}
 
     def _predict(sid: int):
         sub = state["submissions"].get(sid)
         if sub is None:
             raise HTTPException(404, f"submission {sid} not found")
-        if sub["result"] is None:
-            import numpy as np
+        # Serialize per submission (NOT under the global lock — device
+        # predicts from different submissions must still coalesce in the
+        # batcher): the second concurrent poll blocks, then reuses the
+        # cached result instead of running a duplicate device predict.
+        with sub["lock"]:
+            if sub["result"] is None:
+                import numpy as np
 
-            from geoguessr_ai_tpu.data.pipeline import decode_jpeg
+                from geoguessr_ai_tpu.data.pipeline import decode_jpeg
 
-            eng = get_engine()
-            views = np.zeros(
-                (4, eng.image_size, eng.image_size, 3), np.uint8
-            )
-            try:
-                for v, blob in enumerate(sub["blobs"][:4]):
-                    views[v] = decode_jpeg(blob, eng.image_size)
-            except Exception as e:
-                raise HTTPException(400, f"undecodable image: {e}")
-            if len(sub["blobs"]) == 1:
-                views[1:] = views[0]
-            # concurrent requests coalesce into one device batch
-            r = get_batcher().predict(views)
-            sub["blobs"] = sub["blobs"][:1]  # keep one image for /image/{id}
-            sub["result"] = {
-                "lat": r.lat,
-                "lon": r.lon,
-                "top": [
-                    {
-                        "geocell_index": i,
-                        "prob": p,
-                        "country": c,
-                        "admin1": a,
-                    }
-                    for i, p, c, a in zip(
-                        r.top_ids, r.top_probs, r.top_countries, r.top_admin1
-                    )
-                ],
-            }
+                eng = get_engine()
+                views = np.zeros(
+                    (4, eng.image_size, eng.image_size, 3), np.uint8
+                )
+                try:
+                    for v, blob in enumerate(sub["blobs"][:4]):
+                        views[v] = decode_jpeg(blob, eng.image_size)
+                except Exception as e:
+                    raise HTTPException(400, f"undecodable image: {e}")
+                if len(sub["blobs"]) == 1:
+                    views[1:] = views[0]
+                # concurrent requests coalesce into one device batch
+                r = get_batcher().predict(views)
+                # keep one image for /image/{id}
+                sub["blobs"] = sub["blobs"][:1]
+                sub["result"] = {
+                    "lat": r.lat,
+                    "lon": r.lon,
+                    "top": [
+                        {
+                            "geocell_index": i,
+                            "prob": p,
+                            "country": c,
+                            "admin1": a,
+                        }
+                        for i, p, c, a in zip(
+                            r.top_ids,
+                            r.top_probs,
+                            r.top_countries,
+                            r.top_admin1,
+                        )
+                    ],
+                }
         return sub["result"]
 
     @app.get("/prediction/{sid}")

@@ -124,6 +124,12 @@ def train_step(
         )
     else:
         k = grad_accum_steps
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b % k != 0:
+            raise ValueError(
+                f"batch size {b} is not divisible by grad_accum_steps={k}; "
+                "pick a batch size that splits evenly into microbatches"
+            )
 
         def split(x):
             return x.reshape((k, x.shape[0] // k) + x.shape[1:])

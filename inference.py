@@ -32,6 +32,17 @@ def _get_engine(backbone: str, checkpoint: Optional[str],
             sidecar = checkpoint.rstrip("/") + "_centroids.npz"
             if os.path.exists(sidecar):
                 centroid_table = sidecar
+            else:
+                import logging
+
+                logging.getLogger("geoguessr_ai_tpu").warning(
+                    "serving checkpoint %s without a matching centroid "
+                    "table (no %s sidecar, no --centroid-table): falling "
+                    "back to the repo default table — if this checkpoint "
+                    "was imported from a reference .pt with its own "
+                    "proto_df ordering, decoded cells will be permuted",
+                    checkpoint, sidecar,
+                )
         table = None
         if centroid_table:
             from geoguessr_ai_tpu.geocells.manager import CentroidTable

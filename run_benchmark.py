@@ -81,6 +81,16 @@ def run_benchmark(
         sidecar = checkpoint.rstrip("/") + "_centroids.npz"
         if os.path.exists(sidecar):
             centroid_table = sidecar
+        else:
+            import logging
+
+            logging.getLogger("geoguessr_ai_tpu").warning(
+                "benchmarking checkpoint %s without a matching centroid "
+                "table (no %s sidecar): using the repo default table — an "
+                "imported reference checkpoint's cell ordering would be "
+                "permuted",
+                checkpoint, sidecar,
+            )
     if centroid_table:
         from geoguessr_ai_tpu.geocells.manager import CentroidTable
 

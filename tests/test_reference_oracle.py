@@ -19,6 +19,14 @@ so each BATCH element gets one position row broadcast across its views.
 The repo applies positions across the VIEW axis (the intended
 transformer semantics), so hierarchical full-forward parity is asserted
 at V=1 where the two agree exactly.
+
+Trust assumption (ADVICE round 3): importing these modules executes
+top-level code from the read-only /root/reference mount inside the test
+suite.  That is deliberate and scoped — only the two pure model modules
+(models.utils, models.super_guessr) are imported, the mount is mounted
+read-only, and the suite skips entirely when it is absent.  Do not widen
+the import set to entry-point scripts (coordinators, CLIs) that perform
+IO or network work at import time.
 """
 
 import os

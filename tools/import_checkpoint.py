@@ -191,6 +191,12 @@ def import_checkpoint(
     )
     from geoguessr_ai_tpu.train.checkpoints import load_torch_checkpoint
 
+    # Normalize: a trailing-slash --out would put the sidecar INSIDE the
+    # checkpoint dir where inference.py/run_benchmark.py's
+    # `checkpoint.rstrip('/') + "_centroids.npz"` auto-detection misses
+    # it (decode would silently fall back to the repo's default table —
+    # a permuted cell ordering).
+    out_dir = out_dir.rstrip("/")
     sd = load_torch_checkpoint(pt_path)
     fmt = _detect_format(sd)
     cfg = getattr(TinyViTConfig, preset)()
