@@ -373,6 +373,22 @@ class ObjectStore:
             f.write(self.read_bytes(pointer["key"]))
         return out_path
 
+    def download_climate_file(
+        self,
+        path: str = "koppen_geiger_climatezones_1991_2020_1km.tif",
+    ) -> str:
+        """Fetch the Köppen-Geiger GeoTIFF the pretrain caption
+        enrichment samples climate zones from (reference
+        backend/s3bucket.py:1399-1404, consumed at
+        pretrain_idun.py:329-338).  Idempotent: a non-empty local copy
+        short-circuits the download."""
+        if os.path.isfile(path) and os.path.getsize(path) > 0:
+            return path
+        key = f"{V1}/climate/{os.path.basename(path)}"
+        with open(path, "wb") as f:
+            f.write(self.read_bytes(key))
+        return path
+
     # -- checkpoint registry -------------------------------------------
 
     def upload_model_checkpoint(self, local_dir_or_file: str) -> str:

@@ -176,13 +176,24 @@ def select_caption(
     return (location + "".join(extras)).strip()
 
 
-def enrich_dataframe(df, geocell_manager=None, climate_raster=None):
+def enrich_dataframe(df, geocell_manager=None, climate_raster=None,
+                     store=None):
     """Attach caption metadata columns to a per-image DataFrame:
     month (from capture_date/batch_date), country/region (geocell manager),
     drive_right, climate_zone (Köppen raster, requires rasterio).
 
+    When no local ``climate_raster`` is given but an ObjectStore is, the
+    raster self-provisions from the store (reference downloads it before
+    enrichment, backend/s3bucket.py:1399-1404 via pretrain_idun.py:329);
+    fetch failures degrade to captions without a climate clause.
+
     Reference behavior: pretrain_idun.py:327-338 + backend/metadata.py.
     """
+    if climate_raster is None and store is not None:
+        try:
+            climate_raster = store.download_climate_file()
+        except Exception:
+            climate_raster = None
     df = df.copy()
     date_col = (
         "capture_date" if "capture_date" in df.columns else "batch_date"

@@ -5,6 +5,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 python - "$@" <<'PY'
+import os
 import sys
 
 from geoguessr_ai_tpu.data.sqlite_dataset import load_sqlite_dataset
@@ -21,7 +22,14 @@ try:
     mgr = GeocellManager(C.GEOCELL_DIR + "/finished_geocells")
 except Exception:
     mgr = None
-df = enrich_dataframe(df, geocell_manager=mgr)
+# self-provision the Köppen raster from the object store when configured
+# (reference downloads it before enrichment, backend/s3bucket.py:1399)
+store = None
+if os.environ.get("GEO_TPU_STORE_URL"):
+    from geoguessr_ai_tpu.data.s3 import ObjectStore
+
+    store = ObjectStore()
+df = enrich_dataframe(df, geocell_manager=mgr, store=store)
 # CLIP BPE from the vendored assets (drop a real OpenAI vocab into
 # data/clip_bpe/ or set CLIP_BPE_DIR for real-checkpoint interop);
 # hash fallback only if the assets are missing.

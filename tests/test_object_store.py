@@ -118,3 +118,46 @@ def test_location_id_reference_parity():
     assert location_id(lat, lon) == want
     with pytest.raises(ValueError):
         location_id(95.0, 0.0)
+
+
+def test_download_climate_file(store, tmp_path):
+    """Climate-raster fetch (reference backend/s3bucket.py:1399-1404):
+    store key v1/climate/<name>, idempotent local cache, and
+    enrich_dataframe self-provisions through the store."""
+    payload = b"II*\x00fake-geotiff"
+    store.write_bytes(
+        "v1/climate/koppen_geiger_climatezones_1991_2020_1km.tif", payload
+    )
+    out = str(tmp_path / "koppen_geiger_climatezones_1991_2020_1km.tif")
+    got = store.download_climate_file(out)
+    assert got == out
+    with open(out, "rb") as f:
+        assert f.read() == payload
+    # idempotent: a second call must not re-download (corrupt the store
+    # copy; the cached local file short-circuits)
+    store.write_bytes(
+        "v1/climate/koppen_geiger_climatezones_1991_2020_1km.tif", b"XX"
+    )
+    assert store.download_climate_file(out) == out
+    with open(out, "rb") as f:
+        assert f.read() == payload
+
+
+def test_enrich_dataframe_degrades_without_climate_store(tmp_path):
+    """enrich_dataframe(store=...) must not fail when the store has no
+    climate raster — captions just lose the climate clause."""
+    import pandas as pd
+
+    from geoguessr_ai_tpu.train.captions import enrich_dataframe
+
+    empty = ObjectStore(f"file://{tmp_path}/empty_bucket")
+    df = pd.DataFrame(
+        {
+            "lat": [59.9],
+            "lon": [10.7],
+            "batch_date": ["2024-06-01"],
+        }
+    )
+    out = enrich_dataframe(df, store=empty)
+    assert "climate_zone" not in out.columns
+    assert out["month"].iloc[0] == "June"
