@@ -428,16 +428,199 @@ def _qkv_fwd(qkv, bias, scale, num_heads):
     return window_attention_qkv(qkv, bias, scale, num_heads), (qkv, bias)
 
 
+# ---------------------------------------------------------------------------
+# Pallas attention BACKWARD (round 4, VERDICT #2): the training backward
+# previously recomputed attention via jax.vjp over the XLA forward, which
+# re-materializes the (W, H, N, N) f32 score/prob/dscore tensors in HBM —
+# forfeiting in the bwd pass exactly the traffic the forward kernels
+# eliminate.  This kernel recomputes scores/probs per window block in
+# VMEM and emits d_qkv + d_bias in one pass (no online-softmax machinery:
+# N <= 256 rows fit VMEM whole, as in the forward).
+#
+# Memory shape: grid (W/wb,) sequential; per cell an in-kernel python
+# loop over head GROUPS bounds the f32 (wb*hg, N, N) stacks (s -> p,
+# dp, ds) under _BWD_STACK_BYTES each, so stage 3's H=18 fits scoped
+# VMEM (an all-heads cell would need 4 x 4.7 MB stacks — the measured
+# compile-crash regime).  d_bias accumulates into a constant-index f32
+# output block that stays resident across the sequential grid.
+# ---------------------------------------------------------------------------
+
+#: per-tensor budget for the (wb*hg, N, N) f32 score-sized stacks in the
+#: backward kernel (several are live at once; see layout note above).
+_BWD_STACK_BYTES = 2 * 1024 * 1024
+
+
+def _qkv_bwd_kernel(
+    qkv_ref, b_ref, g_ref, dqkv_ref, db_ref, *,
+    scale: float, hd: int, num_heads: int, hg: int,
+):
+    WB, N, _ = qkv_ref.shape
+    w0 = pl.program_id(0)
+    qkv = qkv_ref[...]  # (WB, N, 3D) bf16
+    gout = g_ref[...]  # (WB, N, D)
+
+    for h_start in range(0, num_heads, hg):
+        heads = list(range(h_start, min(h_start + hg, num_heads)))
+
+        def stack(src, get):
+            return jnp.stack(
+                [get(src[w], h) for w in range(WB) for h in heads], axis=0
+            )
+
+        q = stack(qkv, lambda x, h: x[:, h * 3 * hd : h * 3 * hd + hd])
+        k = stack(
+            qkv, lambda x, h: x[:, h * 3 * hd + hd : h * 3 * hd + 2 * hd]
+        )
+        v = stack(
+            qkv,
+            lambda x, h: x[:, h * 3 * hd + 2 * hd : h * 3 * hd + 3 * hd],
+        )
+        gh = stack(gout, lambda x, h: x[:, h * hd : (h + 1) * hd])
+
+        b = b_ref[...][heads[0] : heads[-1] + 1]  # (hg, N, N)
+        bt = jnp.concatenate([b] * WB, axis=0).astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bt
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # (WB*hg, Nq, Nk) f32
+
+        pv = p.astype(v.dtype)
+        # dv[nk, d] = sum_nq p[nq, nk] g[nq, d]
+        dv = jax.lax.dot_general(
+            pv, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dp[nq, nk] = sum_d g[nq, d] v[nk, d]
+        dp = jax.lax.dot_general(
+            gh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        t = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - t)  # (WB*hg, Nq, Nk) f32
+        dsv = ds.astype(v.dtype)
+        dq = jax.lax.dot_general(
+            dsv, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        # dk[nk, d] = sum_nq ds[nq, nk] q[nq, d]
+        dk = jax.lax.dot_general(
+            dsv, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        for i, h in enumerate(heads):
+            for w in range(WB):
+                row = w * len(heads) + i
+                c0 = h * 3 * hd
+                dqkv_ref[w, :, c0 : c0 + hd] = dq[row].astype(
+                    dqkv_ref.dtype
+                )
+                dqkv_ref[w, :, c0 + hd : c0 + 2 * hd] = dk[row].astype(
+                    dqkv_ref.dtype
+                )
+                dqkv_ref[w, :, c0 + 2 * hd : c0 + 3 * hd] = dv[row].astype(
+                    dqkv_ref.dtype
+                )
+
+        db_part = sum(
+            ds[w * len(heads) : (w + 1) * len(heads)] for w in range(WB)
+        )  # (hg, N, N) f32
+
+        h_slice = slice(heads[0], heads[-1] + 1)
+
+        @pl.when(w0 == 0)
+        def _init():
+            db_ref[h_slice] = db_part
+
+        @pl.when(w0 != 0)
+        def _accum():
+            db_ref[h_slice] += db_part
+
+
+def _attention_qkv_bwd_pallas(
+    qkv, bias, g, scale, num_heads, block_w=None, interpret=False
+):
+    """d(qkv), d(bias) for window_attention_qkv.  Returns d_bias in f32;
+    callers cast to the primal bias dtype."""
+    W, N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    wb = block_w or 1
+    while W % wb:
+        wb -= 1
+    hg = max(1, _BWD_STACK_BYTES // (wb * N * N * 4))
+    hg = min(hg, num_heads)
+    const3 = lambda w: (0, 0, 0)
+    dqkv, db = pl.pallas_call(
+        functools.partial(
+            _qkv_bwd_kernel, scale=scale, hd=hd, num_heads=num_heads, hg=hg
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((W, N, 3 * D), qkv.dtype),
+            jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32),
+        ],
+        grid=(W // wb,),
+        in_specs=[
+            pl.BlockSpec(
+                (wb, N, 3 * D), lambda w: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (num_heads, N, N), const3, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (wb, N, D), lambda w: (w, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (wb, N, 3 * D), lambda w: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (num_heads, N, N), const3, memory_space=pltpu.VMEM
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(qkv, bias.astype(qkv.dtype), g)
+    return dqkv, db
+
+
+#: largest per-head f32 score footprint the bwd kernel accepts before
+#: falling back to the XLA recompute (stage-2 N=1024 would need q-tiling).
+_BWD_MAX_SCORE_BYTES = 6 * 1024 * 1024
+
+
 def _qkv_bwd(scale, num_heads, residuals, g):
     qkv, bias = residuals
-    _, vjp = jax.vjp(
-        lambda qkv, bias: _attention_qkv_fused_xla(
-            qkv, bias, scale, num_heads
-        ),
-        qkv,
-        bias,
+    W, N, D3 = qkv.shape
+
+    def xla_bwd(qkv, bias, g):
+        _, vjp = jax.vjp(
+            lambda a, b: _attention_qkv_fused_xla(a, b, scale, num_heads),
+            qkv,
+            bias,
+        )
+        return vjp(g)
+
+    if num_heads * N * N * 4 > _BWD_MAX_SCORE_BYTES:
+        return xla_bwd(qkv, bias, g)
+
+    def pallas_bwd(qkv, bias, g):
+        dqkv, db = _attention_qkv_bwd_pallas(qkv, bias, g, scale, num_heads)
+        return dqkv, db.astype(bias.dtype)
+
+    return jax.lax.platform_dependent(
+        qkv, bias, g, cpu=xla_bwd, default=pallas_bwd
     )
-    return vjp(g)
 
 
 window_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
@@ -605,7 +788,7 @@ def _fused_block_pallas(
 
 def _fused_block_xla(
     x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
-    scale, num_heads, eps,
+    scale, num_heads, eps, attn_fn=None,
 ):
     W, N, C = x.shape
     D = w_proj.shape[0]
@@ -625,7 +808,10 @@ def _fused_block_xla(
         )
         + b_qkv.astype(x.dtype)
     )
-    o = _attention_qkv_fused_xla(qkv, bias, scale, num_heads)
+    if attn_fn is None:
+        o = _attention_qkv_fused_xla(qkv, bias, scale, num_heads)
+    else:
+        o = attn_fn(qkv, bias, scale, num_heads)
     return (
         jnp.einsum(
             "wnd,dc->wnc", o, w_proj.astype(x.dtype),
@@ -675,8 +861,18 @@ def _fb_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
 
 
 def _fb_bwd(scale, num_heads, eps, res, g):
+    # Recompute through window_attention_qkv (NOT the raw XLA attention):
+    # on TPU that recomputes the attention middle with the fast forward
+    # kernel and differentiates it with the Pallas backward kernel — no
+    # (W, H, N, N) f32 score materialization in HBM.  The LN/qkv/proj
+    # GEMMs differentiate as plain XLA GEMMs (already MXU-shaped).  On
+    # CPU window_attention_qkv lowers to the XLA attention, making this
+    # numerically the old recompute path.
     _, vjp = jax.vjp(
-        lambda *a: _fused_block_xla(*a, scale, num_heads, eps), *res
+        lambda *a: _fused_block_xla(
+            *a, scale, num_heads, eps, attn_fn=window_attention_qkv
+        ),
+        *res,
     )
     return vjp(g)
 

@@ -242,3 +242,102 @@ def test_fused_block_model_matches_default():
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lb), atol=1e-3, rtol=1e-2
         )
+
+
+@pytest.mark.parametrize(
+    "W,H,N,hd,stack_bytes",
+    [
+        (4, 6, 256, 32, None),  # stage-1-like, all heads in one group
+        (2, 18, 128, 32, 64 * 1024),  # stage-3-like head count, forces
+        # the in-kernel head-group loop (hg < H) incl. an uneven tail
+    ],
+)
+def test_qkv_bwd_kernel_matches_xla_grad_interpret(
+    W, H, N, hd, stack_bytes, monkeypatch
+):
+    """The Pallas attention-backward kernel (round 4: d_qkv + d_bias in
+    one VMEM pass) must match the XLA recompute-vjp cotangents."""
+    from geoguessr_ai_tpu.ops import window_attention as wa
+
+    if stack_bytes is not None:
+        monkeypatch.setattr(wa, "_BWD_STACK_BYTES", stack_bytes)
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(W, N, 3 * H * hd)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(W, N, H * hd)), jnp.float32)
+    scale = hd**-0.5
+
+    _, vjp = jax.vjp(
+        lambda a, b: wa._attention_qkv_fused_xla(a, b, scale, H), qkv, bias
+    )
+    want_dqkv, want_db = vjp(g)
+    got_dqkv, got_db = wa._attention_qkv_bwd_pallas(
+        qkv, bias, g, scale, H, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dqkv), np.asarray(want_dqkv), atol=5e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_db), np.asarray(want_db), atol=5e-3, rtol=1e-2
+    )
+
+
+def test_qkv_bwd_kernel_window_blocks_interpret():
+    """wb > 1 (multi-window grid cells) and the sequential d_bias
+    accumulation across grid steps."""
+    from geoguessr_ai_tpu.ops import window_attention as wa
+
+    W, H, N, hd = 6, 2, 128, 32
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.normal(size=(W, N, 3 * H * hd)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(W, N, H * hd)), jnp.float32)
+    scale = hd**-0.5
+    _, vjp = jax.vjp(
+        lambda a, b: wa._attention_qkv_fused_xla(a, b, scale, H), qkv, bias
+    )
+    want_dqkv, want_db = vjp(g)
+    got_dqkv, got_db = wa._attention_qkv_bwd_pallas(
+        qkv, bias, g, scale, H, block_w=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dqkv), np.asarray(want_dqkv), atol=5e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_db), np.asarray(want_db), atol=5e-3, rtol=1e-2
+    )
+
+
+def test_fused_block_grads_unchanged_after_bwd_reroute():
+    """_fb_bwd now recomputes through window_attention_qkv; on CPU that
+    is the same XLA attention, so fused_block_attention grads must equal
+    direct jax.grad of the XLA composition (guards the reroute)."""
+    from geoguessr_ai_tpu.ops import window_attention as wa
+
+    W, H, N, hd = 2, 2, 128, 32
+    C = H * hd
+    rng = np.random.default_rng(9)
+    args = (
+        jnp.asarray(rng.normal(size=(W, N, C)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32),
+    )
+    scale = hd**-0.5
+
+    def loss_custom(*a):
+        return jnp.sum(wa.fused_block_attention(*a, scale, H) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(wa._fused_block_xla(*a, scale, H, 1e-5) ** 2)
+
+    g_c = jax.grad(loss_custom, argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_c, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2
+        )
