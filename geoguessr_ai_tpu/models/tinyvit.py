@@ -663,26 +663,21 @@ class WindowAttention(nn.Module):
             self, x, qkv_kernel, qkv_bias, self.dtype, self.quant,
             "qkv_in_amax", site="qkv", sites=self.quant_sites,
         )
-        qkv = qkv.reshape(B, N, self.num_heads, 3 * head_dim)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H, hd)
-        # Plain f32-scores XLA attention.  A bf16 score-storage variant
-        # measured faster in isolated blocks (53.7 vs 63.1 ms for 2x
-        # stage-1) but 20% slower end-to-end (530 vs 668 img/s at
-        # B=256) — the extra casts break cross-block fusion — so the
-        # straightforward form stays.
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        # Plain f32-scores XLA attention FORWARD — the measured-best
+        # stage-2 forward (bf16 score storage, probs-barrier, and four
+        # Pallas forward designs all lost e2e; docs/performance.md) —
+        # via window_attention_qkv_xla: the primal trace is the same
+        # reshape/split/einsum/softmax graph as before, but training
+        # gets the Pallas q-tiled BACKWARD instead of XLA autodiff's
+        # HBM-resident (B*nW, H, N, N) probs/dscore tensors (the
+        # dominant line of the round-4 train-step profile).
+        from geoguessr_ai_tpu.ops.window_attention import (
+            window_attention_qkv_xla,
         )
-        attn = attn * scale + attn_bias[None]
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        # Profiling note: XLA sinks this convert into the consumer matmul
-        # and stores the (B*nW, H, N, N) probs in f32 (~99 ms/iter of HBM
-        # traffic at B=256).  Forcing bf16 materialization with an
-        # optimization_barrier was measured SLOWER end-to-end (601 vs 668
-        # img/s — the barrier also blocks beneficial fusions), so the
-        # straightforward form stays.
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
-        out = out.reshape(B, N, self.dim)
+
+        out = window_attention_qkv_xla(
+            qkv, attn_bias, scale, self.num_heads
+        )
         return _quant_gemm(
             self, out, proj_kernel, proj_bias, self.dtype, self.quant,
             "proj_in_amax", site="proj", sites=self.quant_sites,

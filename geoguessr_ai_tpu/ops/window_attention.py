@@ -447,7 +447,11 @@ def _qkv_fwd(qkv, bias, scale, num_heads):
 
 #: per-tensor budget for the (wb*hg, N, N) f32 score-sized stacks in the
 #: backward kernel (several are live at once; see layout note above).
-_BWD_STACK_BYTES = 2 * 1024 * 1024
+#: MEASURED: 2 MB put the stage-3 (H=18) backward at 16.11 MB scoped
+#: VMEM — 116 KB over the 16 MB limit (train_b20/24 probes, round 4);
+#: 1 MB leaves ~2 MB headroom after bias/db residency + double-buffered
+#: window blocks.
+_BWD_STACK_BYTES = 1 * 1024 * 1024
 
 
 def _qkv_bwd_kernel(
@@ -594,9 +598,218 @@ def _attention_qkv_bwd_pallas(
     return dqkv, db
 
 
-#: largest per-head f32 score footprint the bwd kernel accepts before
-#: falling back to the XLA recompute (stage-2 N=1024 would need q-tiling).
+#: largest all-heads f32 score footprint the small-N bwd kernel accepts
+#: before switching to the q-tiled large-N kernels (stage-2 N=1024).
 _BWD_MAX_SCORE_BYTES = 6 * 1024 * 1024
+
+#: q-tile rows for the large-N backward kernels.
+_BWD_BLOCK_Q = 256
+
+
+def _bwd_tile_math(q, k, v, b, gh, scale):
+    """Shared per-(head, q-tile) backward math.  All f32 intermediates
+    stay in VMEM.  Returns (dq, dk_partial, dv_partial, ds)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, N)
+    s = s * scale + b
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pv = p.astype(v.dtype)
+    # dv[nk, d] = sum_nq p[nq, nk] g[nq, d]
+    dv = jax.lax.dot_general(
+        pv, gh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dp[nq, nk] = sum_d g[nq, d] v[nk, d]
+    dp = jax.lax.dot_general(
+        gh, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - t)
+    dsv = ds.astype(v.dtype)
+    dq = jax.lax.dot_general(
+        dsv, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        dsv, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    return dq, dk, dv, ds
+
+
+def _bwd_k1_kernel(q_ref, k_ref, v_ref, b_ref, g_ref,
+                   dq_ref, dk_ref, dv_ref, *, scale: float):
+    qt = pl.program_id(2)
+    dq, dk, dv, _ = _bwd_tile_math(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+        b_ref[0].astype(jnp.float32), g_ref[0, 0], scale,
+    )
+    dq_ref[0, 0] = dq
+
+    @pl.when(qt == 0)
+    def _init():
+        dk_ref[0, 0] = dk
+        dv_ref[0, 0] = dv
+
+    @pl.when(qt != 0)
+    def _accum():
+        dk_ref[0, 0] += dk
+        dv_ref[0, 0] += dv
+
+
+def _bwd_k2_kernel(q_ref, k_ref, v_ref, b_ref, g_ref, db_ref, *,
+                   scale: float):
+    w = pl.program_id(2)
+    _, _, _, ds = _bwd_tile_math(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+        b_ref[0].astype(jnp.float32), g_ref[0, 0], scale,
+    )
+
+    @pl.when(w == 0)
+    def _init():
+        db_ref[0] = ds
+
+    @pl.when(w != 0)
+    def _accum():
+        db_ref[0] += ds
+
+
+def _attention_bwd_qtiled_pallas(
+    q, k, v, bias, g, scale, block_q=_BWD_BLOCK_Q, interpret=False
+):
+    """Head-major q-tiled attention backward for large N (stage 2).
+
+    Two pallas_calls, because the two accumulations need opposite grid
+    nesting: dk/dv accumulate across q-tiles (K1: grid (H, W, QT), qt
+    fastest, dk/dv blocks resident per (h, w)) while d_bias accumulates
+    across windows (K2: grid (H, QT, W), w fastest, db block resident
+    per (h, qt)).  Each recomputes the (BQ, N) f32 score tile in VMEM —
+    the XLA autodiff instead stores/reads (W, H, N, N)-sized probs and
+    dscore tensors in HBM (the measured ~250 ms of the round-4 train
+    profile).  All blocks slice leading dims only, so head-major layout
+    carries no Mosaic lane constraints.
+
+    Returns (dq, dk, dv, d_bias) with f32 dq/dk/dv and f32 d_bias.
+    """
+    W, H, N, hd = q.shape
+    BQ = min(block_q, N)
+    while N % BQ:
+        BQ //= 2
+    QT = N // BQ
+    bias_in = bias.astype(jnp.float32)
+    k1 = pl.pallas_call(
+        functools.partial(_bwd_k1_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((W, H, N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((W, H, N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((W, H, N, hd), jnp.float32),
+        ],
+        grid=(H, W, QT),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, w, qt: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BQ, N), lambda h, w, qt: (h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, w, qt: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, w, qt: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    dq, dk, dv = k1(q, k, v, bias_in, g)
+    k2 = pl.pallas_call(
+        functools.partial(_bwd_k2_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        grid=(H, QT, W),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, qt, w: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, qt, w: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, qt, w: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BQ, N), lambda h, qt, w: (h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, qt, w: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BQ, N), lambda h, qt, w: (h, qt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+    db = k2(q, k, v, bias_in, g)
+    return dq, dk, dv, db
+
+
+def _attention_qkv_bwd_large(qkv, bias, g, scale, num_heads,
+                             interpret=False):
+    """Large-N (W, N, 3D)-layout backward: stage the tensors head-major
+    with cheap XLA transposes (~0.5 ms vs the ~250 ms they replace),
+    run the q-tiled kernels, and interleave the cotangent back."""
+    W, N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    x = qkv.reshape(W, N, num_heads, 3, hd)
+    q = x[:, :, :, 0].transpose(0, 2, 1, 3)  # (W, H, N, hd)
+    k = x[:, :, :, 1].transpose(0, 2, 1, 3)
+    v = x[:, :, :, 2].transpose(0, 2, 1, 3)
+    gh = g.reshape(W, N, num_heads, hd).transpose(0, 2, 1, 3)
+    dq, dk, dv, db = _attention_bwd_qtiled_pallas(
+        q, k, v, bias, gh, scale, interpret=interpret
+    )
+    dqkv = jnp.stack([dq, dk, dv], axis=3)  # (W, H, N, 3, hd)
+    dqkv = dqkv.transpose(0, 2, 1, 3, 4).reshape(W, N, 3 * D)
+    return dqkv.astype(qkv.dtype), db
 
 
 def _qkv_bwd(scale, num_heads, residuals, g):
@@ -612,7 +825,15 @@ def _qkv_bwd(scale, num_heads, residuals, g):
         return vjp(g)
 
     if num_heads * N * N * 4 > _BWD_MAX_SCORE_BYTES:
-        return xla_bwd(qkv, bias, g)
+        def pallas_bwd_large(qkv, bias, g):
+            dqkv, db = _attention_qkv_bwd_large(
+                qkv, bias, g, scale, num_heads
+            )
+            return dqkv, db.astype(bias.dtype)
+
+        return jax.lax.platform_dependent(
+            qkv, bias, g, cpu=xla_bwd, default=pallas_bwd_large
+        )
 
     def pallas_bwd(qkv, bias, g):
         dqkv, db = _attention_qkv_bwd_pallas(qkv, bias, g, scale, num_heads)
@@ -624,6 +845,31 @@ def _qkv_bwd(scale, num_heads, residuals, g):
 
 
 window_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def window_attention_qkv_xla(qkv, bias, scale: float, num_heads: int):
+    """Hybrid: the plain XLA einsum attention FORWARD (the measured-best
+    stage-2 forward — four Pallas forward designs lost to it,
+    docs/performance.md) with the Pallas attention BACKWARD.
+
+    The primal trace is identical to the inline einsum formulation the
+    model used before (same ops, same dtypes), so inference programs are
+    unchanged; only vjp-transformed programs differ — the backward stops
+    storing/re-reading the (W, H, N, N)-sized probs + dscore tensors in
+    HBM (the dominant line of the round-4 train-step profile).
+    """
+    return _attention_qkv_fused_xla(qkv, bias, scale, num_heads)
+
+
+def _qkvx_fwd(qkv, bias, scale, num_heads):
+    return (
+        window_attention_qkv_xla(qkv, bias, scale, num_heads),
+        (qkv, bias),
+    )
+
+
+window_attention_qkv_xla.defvjp(_qkvx_fwd, _qkv_bwd)
 
 
 def supports_pallas() -> bool:
