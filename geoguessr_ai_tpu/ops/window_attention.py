@@ -1124,3 +1124,260 @@ def _fb_bwd(scale, num_heads, eps, res, g):
 
 
 fused_block_attention.defvjp(_fb_fwd, _fb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stage-2 no-proj fused block (round 4, VERDICT #3 attempt #5).
+#
+# The four earlier stage-2 kernel designs lost e2e to XLA's windowed
+# scores+softmax+probs@v mega-fusions (docs/performance.md).  Their shared
+# bind: the full (H, N, N) bias cannot be VMEM-resident (25 MB bf16 at
+# H=12, N=1024 > the 16 MB scoped limit), and every chunking that makes it
+# resident either refetches x/bias per chunk or needs cross-chunk output
+# accumulation whose grid order conflicts with bias residency.
+#
+# This design cuts the conflict by fusing LN + qkv GEMM + attention but
+# NOT the out-projection: grid (head_chunk, window) with window innermost,
+# so the (hb, N, N) bf16 bias chunk AND the (C, hb*3hd) qkv weight chunk
+# stay VMEM-resident across all windows; each chunk computes its own qkv
+# *columns* (no duplicated GEMM FLOPs — only the cheap VPU LayerNorm is
+# recomputed per chunk) and writes its heads' attention output slice
+# directly, so no cross-chunk accumulation exists and the out-proj runs
+# as a separate XLA GEMM exactly as in the hybrid path.  What the fusion
+# removes vs the XLA stage-2 path is the (W, N, 3D) qkv tensor's HBM
+# round trip (~2.4 GB/layer at B=512) at the cost of re-reading x per
+# chunk (~1.2 GB with 3 chunks).
+#
+# VMEM accounting at stage-2 shapes (hb=4, N=1024, C=384, bq=256):
+# bias chunk 8.4 MB bf16 + x 0.75 + LN f32 transient ~1.5 + qkv 0.75 +
+# per-head (bq, N) f32 score/prob tiles 2 x 1 MB + out 0.25 + weights
+# 0.3 -> ~14 MB.  Heads iterate sequentially inside the chunk to keep
+# the score stacks at (bq, N) instead of (hb*bq, N) (S2_HEAD_BATCHED
+# flips this for A/B measurement).
+# ---------------------------------------------------------------------------
+
+#: q rows per score tile inside the stage-2 no-proj kernel.
+S2_BLOCK_Q = 256
+#: batch the chunk's heads into one dot_general (True) or loop heads
+#: sequentially with per-head score tiles (False, VMEM-lean default).
+S2_HEAD_BATCHED = False
+
+
+def _fb_s2_kernel(
+    x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, ab_ref, o_ref, *,
+    scale: float, hd: int, hb: int, eps: float, block_q: int,
+    head_batched: bool,
+):
+    N, C = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[0]
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (
+        xc * jax.lax.rsqrt(var + eps) * ls_ref[0].astype(jnp.float32)
+        + lb_ref[0].astype(jnp.float32)
+    ).astype(x.dtype)
+
+    qkv = (
+        jax.lax.dot_general(
+            ln, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bqkv_ref[0]
+    )  # (N, hb*3hd)
+
+    nq = N // block_q
+    if head_batched:
+        q = jnp.stack(
+            [qkv[:, h * 3 * hd : h * 3 * hd + hd] for h in range(hb)]
+        )
+        k = jnp.stack(
+            [
+                qkv[:, h * 3 * hd + hd : h * 3 * hd + 2 * hd]
+                for h in range(hb)
+            ]
+        )
+        v = jnp.stack(
+            [
+                qkv[:, h * 3 * hd + 2 * hd : h * 3 * hd + 3 * hd]
+                for h in range(hb)
+            ]
+        )
+        for qt in range(nq):
+            rows = slice(qt * block_q, (qt + 1) * block_q)
+            s = jax.lax.dot_general(
+                q[:, rows], k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (hb, bq, N)
+            s = s * scale + ab_ref[:, rows].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (hb, bq, hd)
+            o_ref[0, rows, :] = jnp.concatenate(
+                [o[h] for h in range(hb)], axis=-1
+            ).astype(o_ref.dtype)
+    else:
+        for h in range(hb):
+            c0 = h * 3 * hd
+            q = qkv[:, c0 : c0 + hd]
+            k = qkv[:, c0 + hd : c0 + 2 * hd]
+            v = qkv[:, c0 + 2 * hd : c0 + 3 * hd]
+            for qt in range(nq):
+                rows = slice(qt * block_q, (qt + 1) * block_q)
+                s = jax.lax.dot_general(
+                    q[rows], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (bq, N)
+                s = s * scale + ab_ref[h, rows].astype(jnp.float32)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o_ref[0, rows, h * hd : (h + 1) * hd] = jnp.dot(
+                    p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(o_ref.dtype)
+
+
+def _fb_s2_pallas(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, bias, scale, num_heads, eps,
+    head_block=4, block_q=None, head_batched=None, interpret=False,
+):
+    W, N, C = x.shape
+    D3 = w_qkv.shape[1]
+    D = D3 // 3
+    hd = D // num_heads
+    hb = select_head_block(num_heads, hd, head_block)
+    block_q = block_q or S2_BLOCK_Q
+    block_q = min(block_q, N)
+    while N % block_q:
+        block_q //= 2
+    if head_batched is None:
+        head_batched = S2_HEAD_BATCHED
+    dt = x.dtype
+    n_chunks = num_heads // hb
+    cw = 3 * hd * hb
+    args = (
+        x,
+        ln_scale.reshape(1, C).astype(jnp.float32),
+        ln_bias.reshape(1, C).astype(jnp.float32),
+        w_qkv.astype(dt),
+        b_qkv.reshape(1, D3).astype(dt),
+        bias.astype(dt),
+    )
+    const = lambda hc, w: (0, 0)
+    return pl.pallas_call(
+        functools.partial(
+            _fb_s2_kernel, scale=scale, hd=hd, hb=hb, eps=eps,
+            block_q=block_q, head_batched=head_batched,
+        ),
+        out_shape=jax.ShapeDtypeStruct((W, N, D), dt),
+        grid=(n_chunks, W),
+        in_specs=[
+            pl.BlockSpec(
+                (1, N, C), lambda hc, w: (w, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (C, cw), lambda hc, w: (0, hc), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, cw), lambda hc, w: (0, hc), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (hb, N, N), lambda hc, w: (hc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, hb * hd), lambda hc, w: (w, 0, hc),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _fb_s2_xla(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, bias, scale, num_heads, eps,
+    attn_fn=None,
+):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (
+        xc * jax.lax.rsqrt(var + eps) * ln_scale.astype(jnp.float32)
+        + ln_bias.astype(jnp.float32)
+    ).astype(x.dtype)
+    qkv = (
+        jnp.einsum(
+            "wnc,ck->wnk", ln, w_qkv.astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        + b_qkv.astype(x.dtype)
+    )
+    if attn_fn is None:
+        return _attention_qkv_fused_xla(qkv, bias, scale, num_heads)
+    return attn_fn(qkv, bias, scale, num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_block_attention_noproj(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, bias,
+    scale: float, num_heads: int, eps: float = 1e-5,
+):
+    """attention(qkv(LN(x))) for independent windows — the stage-2
+    no-proj fused block.  Returns the pre-projection (W, N, D) attention
+    output; the caller runs the out-projection (so quantized proj sites
+    and the hybrid training path stay untouched).
+
+    Same parameter conventions as fused_block_attention, minus w_proj /
+    b_proj.
+    """
+    return jax.lax.platform_dependent(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, bias,
+        cpu=functools.partial(
+            _fb_s2_xla, scale=scale, num_heads=num_heads, eps=eps
+        ),
+        default=functools.partial(
+            _fb_s2_pallas, scale=scale, num_heads=num_heads, eps=eps
+        ),
+    )
+
+
+def _fb_s2_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, bias, scale,
+               num_heads, eps):
+    return (
+        fused_block_attention_noproj(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, bias, scale, num_heads,
+            eps,
+        ),
+        (x, ln_scale, ln_bias, w_qkv, b_qkv, bias),
+    )
+
+
+def _fb_s2_bwd(scale, num_heads, eps, res, g):
+    # Recompute through window_attention_qkv_xla: the XLA forward trace
+    # (measured-best at stage-2 shapes) differentiates the LN/qkv GEMMs
+    # as plain XLA while the attention middle gets the Pallas q-tiled
+    # backward — identical to the hybrid training path this op replaces.
+    _, vjp = jax.vjp(
+        lambda *a: _fb_s2_xla(
+            *a, scale, num_heads, eps, attn_fn=window_attention_qkv_xla
+        ),
+        *res,
+    )
+    return vjp(g)
+
+
+fused_block_attention_noproj.defvjp(_fb_s2_fwd, _fb_s2_bwd)

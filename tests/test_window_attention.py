@@ -399,3 +399,85 @@ def test_hybrid_op_forward_and_grads_match_inline_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3
         )
+
+
+@pytest.mark.parametrize("head_batched", [False, True])
+def test_fb_s2_kernel_interpret_matches_xla(head_batched):
+    """fused_block_attention_noproj (stage-2 LN+qkv+attention, no proj):
+    the pallas interpret path matches the XLA composition at a stage-2-
+    like geometry (H=12, hd=32 -> head chunks of 4, 3 chunks), in both
+    head-sequential and head-batched kernel variants."""
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.ops.window_attention import (
+        _fb_s2_pallas,
+        _fb_s2_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    W, N, H, hd = 3, 256, 12, 16
+    C = 128
+    D = H * hd
+    scale = hd**-0.5
+    x = jnp.asarray(rng.normal(0, 1, (W, N, C)), jnp.float32)
+    args = (
+        x,
+        jnp.asarray(rng.normal(1, 0.1, (C,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (C, 3 * D)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (3 * D,)), jnp.float32),
+        jnp.asarray(rng.normal(0, 0.5, (H, N, N)), jnp.float32),
+    )
+    want = np.asarray(_fb_s2_xla(*args, scale, H, 1e-5))
+    got = np.asarray(
+        _fb_s2_pallas(
+            *args, scale, H, 1e-5, block_q=128,
+            head_batched=head_batched, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_fb_s2_model_matches_default_and_grads():
+    """TinyViT with fused_block_noproj_stages set equals the default
+    model numerically at a geometry where the branch engages (N=256),
+    with an unchanged param tree and matching gradients (the custom VJP
+    recomputes through the hybrid XLA-fwd path)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+
+    cfg = dataclasses.replace(
+        TinyViTConfig.test_tiny(dtype=jnp.float32),
+        window_sizes=(2, 2, 16, 2),
+    )
+    cfg2 = dataclasses.replace(cfg, fused_block_noproj_stages=(2,))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)), jnp.float32)
+    m1, m2 = TinyViT(cfg), TinyViT(cfg2)
+    v = m1.init(jax.random.PRNGKey(0), x)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v2
+    )
+    a = np.asarray(m1.apply(v, x))
+    b = np.asarray(m2.apply(v, x))
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+    def loss1(p):
+        return m1.apply({**v, "params": p}, x).sum()
+
+    def loss2(p):
+        return m2.apply({**v, "params": p}, x).sum()
+
+    g1 = jax.grad(loss1)(v["params"])
+    g2 = jax.grad(loss2)(v["params"])
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), atol=1e-3, rtol=1e-2
+        )
