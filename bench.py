@@ -172,7 +172,11 @@ def main() -> None:
     # tools/quality_run_full.py (full 12,647-cell head + refiner lift) —
     # from-scratch runs through the REAL coordinator on synthetic data
     # (no pretrained weights reachable offline).
-    for quality_path in ("data/out/QUALITY.json", "data/out/QUALITY_FULL.json"):
+    for quality_path in (
+        "data/out/QUALITY.json",
+        "data/out/QUALITY_FULL.json",
+        "data/out/QUALITY_V2.json",
+    ):
         try:
             with open(quality_path) as f:
                 record.update(json.load(f))
