@@ -1164,11 +1164,28 @@ S2_HEAD_BATCHED = False
 
 
 def _fb_s2_kernel(
-    x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, ab_ref, o_ref, *,
+    x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, ab_hbm, o_ref,
+    ab_ref, dma_sem, *,
     scale: float, hd: int, hb: int, eps: float, block_q: int,
     head_batched: bool,
 ):
     N, C = x_ref.shape[1], x_ref.shape[2]
+    hc = pl.program_id(0)
+
+    # Manual single-buffered bias residency: the (hb, N, N) bf16 chunk is
+    # 8.4 MB at stage-2 shapes — a regular input block would be DOUBLE-
+    # buffered by the pipeline (16.8 MB > the 16 MB scoped-VMEM limit, the
+    # measured compile-crash mode).  Bias stays in HBM (ANY) and is DMA'd
+    # into one VMEM scratch only when the head chunk changes (once per W
+    # inner iterations).
+    @pl.when(pl.program_id(1) == 0)
+    def _load_bias():
+        cp = pltpu.make_async_copy(
+            ab_hbm.at[pl.dslice(hc * hb, hb)], ab_ref, dma_sem
+        )
+        cp.start()
+        cp.wait()
+
     x = x_ref[0]
 
     xf = x.astype(jnp.float32)
@@ -1291,15 +1308,16 @@ def _fb_s2_pallas(
             pl.BlockSpec(
                 (1, cw), lambda hc, w: (0, hc), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (hb, N, N), lambda hc, w: (hc, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, N, hb * hd), lambda hc, w: (w, 0, hc),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((hb, N, N), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
