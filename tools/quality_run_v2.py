@@ -111,8 +111,7 @@ def build_dataset(path, table, loc_per_cell, spread_deg, field, rng,
     # split, so writing cell-by-cell would put the last ~20% of CELLS
     # entirely in val with zero training data (val top-1 structurally 0
     # — the round-4 first run's failure mode).
-    loc_groups = []
-    i = 0
+    locs = []
     for c in range(K):
         lon_c, lat_c = table.centroids[c]
         for _ in range(loc_per_cell):
@@ -120,25 +119,28 @@ def build_dataset(path, table, loc_per_cell, spread_deg, field, rng,
             lon = float(
                 (lon_c + rng.normal(0, spread_deg) + 180.0) % 360.0 - 180.0
             )
-            fv = field(lat, lon)
-            group = []
-            for h in (0, 90, 180, 270):
-                group.append(
-                    {
-                        "location_id": f"loc{i:06d}",
-                        "lat": lat,
-                        "lon": lon,
-                        "heading": h,
-                        "image": synth_view(fv, h, rng, noise=noise),
-                    }
-                )
-            loc_groups.append(group)
-            i += 1
+            locs.append((lat, lon))
+    # location_id is assigned AFTER shuffling cells together: the dataset
+    # loader sorts panoramas by location_id, so ids must not follow cell
+    # order — the reference split is sequential no-shuffle and would
+    # otherwise hold out the last ~20% of CELLS wholesale (round-4 run 1:
+    # val top-1 structurally 0).
     records = []
-    for j in rng.permutation(len(loc_groups)):
-        records.extend(loc_groups[j])
+    for i, j in enumerate(rng.permutation(len(locs))):
+        lat, lon = locs[j]
+        fv = field(lat, lon)
+        for h in (0, 90, 180, 270):
+            records.append(
+                {
+                    "location_id": f"loc{i:06d}",
+                    "lat": lat,
+                    "lon": lon,
+                    "heading": h,
+                    "image": synth_view(fv, h, rng, noise=noise),
+                }
+            )
     create_sqlite_from_records(path, records)
-    return i
+    return len(locs)
 
 
 def evaluate_from_jpegs(coord, cfg, table, train_df, val_df, ckpt_dir,
