@@ -804,9 +804,14 @@ def _attention_qkv_bwd_large(qkv, bias, g, scale, num_heads,
     k = x[:, :, :, 1].transpose(0, 2, 1, 3)
     v = x[:, :, :, 2].transpose(0, 2, 1, 3)
     gh = g.reshape(W, N, num_heads, hd).transpose(0, 2, 1, 3)
-    dq, dk, dv, db = _attention_bwd_qtiled_pallas(
-        q, k, v, bias, gh, scale, interpret=interpret
-    )
+    if BWD_MERGED:
+        dq, dk, dv, db = _attention_bwd_merged_pallas(
+            q, k, v, bias, gh, scale, interpret=interpret
+        )
+    else:
+        dq, dk, dv, db = _attention_bwd_qtiled_pallas(
+            q, k, v, bias, gh, scale, interpret=interpret
+        )
     dqkv = jnp.stack([dq, dk, dv], axis=3)  # (W, H, N, 3, hd)
     dqkv = dqkv.transpose(0, 2, 1, 3, 4).reshape(W, N, 3 * D)
     return dqkv.astype(qkv.dtype), db
@@ -1399,3 +1404,116 @@ def _fb_s2_bwd(scale, num_heads, eps, res, g):
 
 
 fused_block_attention_noproj.defvjp(_fb_s2_fwd, _fb_s2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Merged large-N backward (round 4, follow-up): K1+K2 recompute the same
+# (BQ, N) score/prob tiles — one pass can emit dq/dk/dv AND d_bias if the
+# d_bias output block is indexed by head only: with grid (H, W, QT) it
+# stays resident across the whole (w, qt) inner sweep of its head and
+# accumulates via pl.when, while dk/dv accumulate across qt exactly as in
+# K1.  Halves the recompute matmul FLOPs and the q/k/v/g HBM refetches of
+# the two-kernel design.  Opt-in via BWD_MERGED until measured e2e.
+# ---------------------------------------------------------------------------
+
+#: route _attention_qkv_bwd_large through the merged one-pass kernel.
+BWD_MERGED = False
+
+
+def _bwd_merged_kernel(q_ref, k_ref, v_ref, b_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, db_ref, *, scale: float):
+    w = pl.program_id(1)
+    qt = pl.program_id(2)
+    dq, dk, dv, ds = _bwd_tile_math(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+        b_ref[0].astype(jnp.float32), g_ref[0, 0], scale,
+    )
+    dq_ref[0, 0] = dq
+
+    @pl.when(qt == 0)
+    def _init_kv():
+        dk_ref[0, 0] = dk
+        dv_ref[0, 0] = dv
+
+    @pl.when(qt != 0)
+    def _accum_kv():
+        dk_ref[0, 0] += dk
+        dv_ref[0, 0] += dv
+
+    rows = pl.dslice(qt * ds.shape[0], ds.shape[0])
+
+    @pl.when(w == 0)
+    def _init_db():
+        db_ref[0, rows] = ds
+
+    @pl.when(w != 0)
+    def _accum_db():
+        db_ref[0, rows] += ds
+
+
+def _attention_bwd_merged_pallas(
+    q, k, v, bias, g, scale, block_q=None, interpret=False
+):
+    """One-pass (dq, dk, dv, d_bias) for large N; see module note."""
+    W, H, N, hd = q.shape
+    BQ = min(block_q or _BWD_BLOCK_Q, N)
+    while N % BQ:
+        BQ //= 2
+    QT = N // BQ
+    bias_in = bias.astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_bwd_merged_kernel, scale=scale),
+        out_shape=[
+            jax.ShapeDtypeStruct((W, H, N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((W, H, N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((W, H, N, hd), jnp.float32),
+            jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        ],
+        grid=(H, W, QT),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, w, qt: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, BQ, N), lambda h, w, qt: (h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, w, qt: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, BQ, hd), lambda h, w, qt: (w, h, qt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, N, hd), lambda h, w, qt: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # full-head d_bias block: index constant across (w, qt) so it
+            # stays resident for the whole inner sweep of its head
+            pl.BlockSpec(
+                (1, N, N), lambda h, w, qt: (h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias_in, g)

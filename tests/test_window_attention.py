@@ -481,3 +481,34 @@ def test_fb_s2_model_matches_default_and_grads():
         np.testing.assert_allclose(
             np.asarray(la), np.asarray(lb), atol=1e-3, rtol=1e-2
         )
+
+
+def test_bwd_merged_matches_two_kernel_interpret():
+    """The merged one-pass large-N backward (dq/dk/dv + d_bias in one
+    grid) matches the two-kernel K1/K2 design in interpret mode."""
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.ops.window_attention import (
+        _attention_bwd_merged_pallas,
+        _attention_bwd_qtiled_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    W, H, N, hd = 3, 4, 256, 16
+    scale = hd**-0.5
+    q = jnp.asarray(rng.normal(0, 1, (W, H, N, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (W, H, N, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (W, H, N, hd)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.5, (H, N, N)), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (W, H, N, hd)), jnp.float32)
+    ref = _attention_bwd_qtiled_pallas(
+        q, k, v, b, g, scale, block_q=128, interpret=True
+    )
+    got = _attention_bwd_merged_pallas(
+        q, k, v, b, g, scale, block_q=128, interpret=True
+    )
+    for name, a, bb in zip(("dq", "dk", "dv", "db"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-4,
+            err_msg=name,
+        )
