@@ -128,7 +128,13 @@ class TinyViTConfig:
     #: (W, N, 3D) qkv HBM round trip without the 25 MB full-bias
     #: residency the four failed designs needed.  Takes precedence over
     #: pallas/fused_block stage lists for listed stages.
-    fused_block_noproj_stages: Tuple[int, ...] = ()
+    #: MEASURED e2e (v5e, B=512, fused 1+3 + static-int8 MLP baseline
+    #: 205.5 panos/s re-measure): head-sequential bq=256 = 208.7,
+    #: bq=512 = **213.2 panos/s** (tools/exp_r4_s2noproj.py, min cosine
+    #: 0.999997); head-batched crashed scoped VMEM (18.77 MB > 16 MB).
+    #: Default ON — the VJP routes through the measured-best hybrid
+    #: training path (XLA fwd recompute + Pallas q-tiled backward).
+    fused_block_noproj_stages: Tuple[int, ...] = (2,)
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":

@@ -1161,8 +1161,11 @@ fused_block_attention.defvjp(_fb_fwd, _fb_bwd)
 # flips this for A/B measurement).
 # ---------------------------------------------------------------------------
 
-#: q rows per score tile inside the stage-2 no-proj kernel.
-S2_BLOCK_Q = 256
+#: q rows per score tile inside the stage-2 no-proj kernel.  MEASURED
+#: e2e at B=512 production shapes: bq=512 = 213.2 panos/s vs bq=256 =
+#: 208.7 (tools/exp_r4_s2noproj.py) — the full-N score tile halves the
+#: per-head loop's k/v re-reads and still fits the ~14 MB VMEM budget.
+S2_BLOCK_Q = 512
 #: batch the chunk's heads into one dot_general (True) or loop heads
 #: sequentially with per-head score tiles (False, VMEM-lean default).
 S2_HEAD_BATCHED = False
@@ -1413,11 +1416,15 @@ fused_block_attention_noproj.defvjp(_fb_s2_fwd, _fb_s2_bwd)
 # stays resident across the whole (w, qt) inner sweep of its head and
 # accumulates via pl.when, while dk/dv accumulate across qt exactly as in
 # K1.  Halves the recompute matmul FLOPs and the q/k/v/g HBM refetches of
-# the two-kernel design.  Opt-in via BWD_MERGED until measured e2e.
+# the two-kernel design.
 # ---------------------------------------------------------------------------
 
 #: route _attention_qkv_bwd_large through the merged one-pass kernel.
-BWD_MERGED = False
+#: MEASURED e2e train step (v5e, B=16, 12,647-cell SuperGuessr, 2x each,
+#: tools/exp_r4_bwdmerge.py): merged 597.4 ms = **26.8 panos/s** (8.8%
+#: train MFU) vs two-kernel 619.7-620.1 ms = 25.8 (8.5%), bit-identical
+#: losses.  Default ON.
+BWD_MERGED = True
 
 
 def _bwd_merged_kernel(q_ref, k_ref, v_ref, b_ref, g_ref,
