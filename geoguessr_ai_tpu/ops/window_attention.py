@@ -1170,6 +1170,10 @@ S2_BLOCK_Q = 512
 #: batch the chunk's heads into one dot_general (True) or loop heads
 #: sequentially with per-head score tiles (False, VMEM-lean default).
 S2_HEAD_BATCHED = False
+#: heads per chunk (n_chunks = num_heads // hb).  hb=12 with
+#: VMEM_LIMIT_BYTES raised keeps the FULL expanded bias resident and
+#: reads x once — the residency the four round-3 designs needed.
+S2_HEAD_BLOCK = 4
 
 
 def _fb_s2_kernel(
@@ -1272,13 +1276,13 @@ def _fb_s2_kernel(
 
 def _fb_s2_pallas(
     x, ln_scale, ln_bias, w_qkv, b_qkv, bias, scale, num_heads, eps,
-    head_block=4, block_q=None, head_batched=None, interpret=False,
+    head_block=None, block_q=None, head_batched=None, interpret=False,
 ):
     W, N, C = x.shape
     D3 = w_qkv.shape[1]
     D = D3 // 3
     hd = D // num_heads
-    hb = select_head_block(num_heads, hd, head_block)
+    hb = select_head_block(num_heads, hd, head_block or S2_HEAD_BLOCK)
     block_q = block_q or S2_BLOCK_Q
     block_q = min(block_q, N)
     while N % block_q:

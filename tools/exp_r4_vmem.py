@@ -102,6 +102,13 @@ CASES = {
         {"VMEM_LIMIT_BYTES": V64, "FUSED_BLOCK_WB": 8,
          "FUSED_BLOCK_SCORE_BYTES": 32 * 1024 * 1024}
     ),
+    "s2bq1024_v64": lambda: embed_case(
+        {"VMEM_LIMIT_BYTES": V64, "S2_BLOCK_Q": 1024}
+    ),
+    "s2hb12_v64": lambda: embed_case(
+        {"VMEM_LIMIT_BYTES": V64, "S2_HEAD_BLOCK": 12,
+         "S2_BLOCK_Q": 512}
+    ),
     "stack4_v64": lambda: train_case(
         {"VMEM_LIMIT_BYTES": V64,
          "_BWD_STACK_BYTES": 4 * 1024 * 1024}
