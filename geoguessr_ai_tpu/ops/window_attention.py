@@ -1461,12 +1461,23 @@ def _bwd_merged_kernel(q_ref, k_ref, v_ref, b_ref, g_ref,
         db_ref[0, rows] += ds
 
 
+#: q-tile rows for the MERGED large-N backward.  MEASURED e2e train
+#: B=16 (tools/exp_r4_vmem.py): BQ=512 = 427.7 ms = 37.4 panos/s vs
+#: BQ=256 = 444.3 ms = 36.0 (+3.8%) — halves the per-head k/v refetch
+#: rounds; needs the raised per-kernel VMEM limit below (d_bias (N, N)
+#: f32 residency + (BQ, N) stacks exceed the 16 MB default).
+_BWD_MERGED_BLOCK_Q = 512
+#: per-kernel Mosaic VMEM limit for the merged backward; a per-kernel
+#: raise transits the relay (probe_v64), unlike XLA_FLAGS.
+_BWD_MERGED_VMEM = 64 * 1024 * 1024
+
+
 def _attention_bwd_merged_pallas(
     q, k, v, bias, g, scale, block_q=None, interpret=False
 ):
     """One-pass (dq, dk, dv, d_bias) for large N; see module note."""
     W, H, N, hd = q.shape
-    BQ = min(block_q or _BWD_BLOCK_Q, N)
+    BQ = min(block_q or _BWD_MERGED_BLOCK_Q, N)
     while N % BQ:
         BQ //= 2
     QT = N // BQ
@@ -1522,6 +1533,9 @@ def _attention_bwd_merged_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        compiler_params=_cparams("arbitrary", "arbitrary", "arbitrary"),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES or _BWD_MERGED_VMEM,
+        ),
         interpret=interpret,
     )(q, k, v, bias_in, g)
