@@ -439,10 +439,12 @@ def test_fb_s2_kernel_interpret_matches_xla(head_batched):
 
 
 def test_fb_s2_model_matches_default_and_grads():
-    """TinyViT with fused_block_noproj_stages set equals the default
-    model numerically at a geometry where the branch engages (N=256),
-    with an unchanged param tree and matching gradients (the custom VJP
-    recomputes through the hybrid XLA-fwd path)."""
+    """TinyViT with fused_block_noproj_stages (the round-4 DEFAULT)
+    equals the plain-modules path numerically at a geometry where the
+    branch engages (N=256), with an unchanged param tree and matching
+    gradients (the custom VJP recomputes through the hybrid XLA-fwd
+    path).  noproj is explicitly disabled on the baseline config since
+    it became the default."""
     import dataclasses
 
     import jax
@@ -453,6 +455,7 @@ def test_fb_s2_model_matches_default_and_grads():
     cfg = dataclasses.replace(
         TinyViTConfig.test_tiny(dtype=jnp.float32),
         window_sizes=(2, 2, 16, 2),
+        fused_block_noproj_stages=(),
     )
     cfg2 = dataclasses.replace(cfg, fused_block_noproj_stages=(2,))
     rng = np.random.default_rng(2)
