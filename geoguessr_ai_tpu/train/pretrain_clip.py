@@ -77,8 +77,22 @@ def make_pretrain_optimizer(cfg: PretrainConfig, total_steps: int):
     return tx, sched
 
 
+#: stop_gradient the frozen subtrees inside the loss so XLA dead-code-
+#: eliminates the frozen towers' entire backward.  Numerically identical
+#: to computing-then-zeroing (the masked optimizer ignored those grads
+#: anyway — reference freeze semantics, pretrain_idun.py:220-239); the
+#: step cost collapses to forward + projection/logit-scale backward.
+STOP_GRAD_FROZEN = True
+
+
 def pretrain_step(params, opt_state, batch, model, tx, frozen_mask):
     def loss_fn(p):
+        if STOP_GRAD_FROZEN:
+            p = jax.tree_util.tree_map(
+                lambda x, m: x if m else jax.lax.stop_gradient(x),
+                p,
+                frozen_mask,
+            )
         out = model.apply(
             {"params": p},
             pixel_values=batch["pixel_values"],

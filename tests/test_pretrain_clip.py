@@ -144,3 +144,55 @@ def test_pretrain_loop_trains_only_projection(fixtures_dir):
         np.asarray(init["visual_projection"]["kernel"]),
         np.asarray(params["visual_projection"]["kernel"]),
     )
+
+
+def test_stop_grad_frozen_equivalent():
+    """STOP_GRAD_FROZEN (XLA dead-code-eliminates the frozen towers'
+    backward) is numerically identical to computing-then-zeroing those
+    grads: one optimizer step with the flag on/off yields the same
+    params and loss."""
+    import jax
+    import jax.numpy as jnp
+
+    import geoguessr_ai_tpu.train.pretrain_clip as pc
+    from geoguessr_ai_tpu.config import PretrainConfig
+    from geoguessr_ai_tpu.models.clip_text import CLIPModel, CLIPTextConfig
+    from geoguessr_ai_tpu.models.clip_vit import CLIPVisionConfig
+
+    vc = CLIPVisionConfig.test_tiny(dtype=jnp.float32)
+    tc = CLIPTextConfig.test_tiny(dtype=jnp.float32)
+    model = CLIPModel(vc, tc)
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        pixel_values=jnp.zeros((2, vc.image_size, vc.image_size, 3)),
+        input_ids=jnp.zeros((2, tc.max_length), jnp.int32),
+    )["params"]
+    mask = pc.trainable_mask(params)
+    tx, _ = pc.make_pretrain_optimizer(
+        PretrainConfig(learning_rate=1e-3, warmup_ratio=0.0), 100
+    )
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.normal(0, 1, (4, vc.image_size, vc.image_size, 3)),
+            jnp.float32,
+        ),
+        "input_ids": jnp.asarray(
+            rng.integers(0, tc.vocab_size, (4, tc.max_length)), jnp.int32
+        ),
+    }
+    results = {}
+    for flag in (True, False):
+        pc.STOP_GRAD_FROZEN = flag
+        opt_state = tx.init(params)
+        p2, _, loss = jax.jit(
+            lambda p, o, b: pc.pretrain_step(p, o, b, model, tx, mask)
+        )(params, opt_state, batch)
+        results[flag] = (jax.tree.map(np.asarray, p2), float(loss))
+    pc.STOP_GRAD_FROZEN = True
+    assert results[True][1] == results[False][1]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[True][0]),
+        jax.tree_util.tree_leaves(results[False][0]),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-7, rtol=1e-6)
