@@ -401,12 +401,17 @@ def test_hybrid_op_forward_and_grads_match_inline_xla():
         )
 
 
-@pytest.mark.parametrize("head_batched", [False, True])
-def test_fb_s2_kernel_interpret_matches_xla(head_batched):
+@pytest.mark.parametrize(
+    "head_batched,head_block",
+    [(False, None), (True, None), (False, 12)],
+)
+def test_fb_s2_kernel_interpret_matches_xla(head_batched, head_block):
     """fused_block_attention_noproj (stage-2 LN+qkv+attention, no proj):
     the pallas interpret path matches the XLA composition at a stage-2-
-    like geometry (H=12, hd=32 -> head chunks of 4, 3 chunks), in both
-    head-sequential and head-batched kernel variants."""
+    like geometry (H=12, hd=32 -> head chunks of 4, 3 chunks), in
+    head-sequential and head-batched variants plus the hb=12 all-heads
+    chunk (full bias residency — measured LOSING e2e but kept as a
+    supported knob)."""
     import jax.numpy as jnp
 
     from geoguessr_ai_tpu.ops.window_attention import (
@@ -432,7 +437,8 @@ def test_fb_s2_kernel_interpret_matches_xla(head_batched):
     got = np.asarray(
         _fb_s2_pallas(
             *args, scale, H, 1e-5, block_q=128,
-            head_batched=head_batched, interpret=True,
+            head_batched=head_batched, head_block=head_block,
+            interpret=True,
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
