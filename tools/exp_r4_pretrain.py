@@ -89,6 +89,10 @@ def run_case(stop_grad: bool, B: int):
 CASES = {
     "sg_on_b64": lambda: run_case(True, 64),
     "sg_off_b64": lambda: run_case(False, 64),
+    # big-batch contrastive step becomes feasible once the frozen
+    # towers' backward is DCE'd (fwd-dominated memory); reference
+    # PRETRAIN_ARGS wants bs 960 w/ accum 8 (config.py:105-136).
+    "sg_on_b256": lambda: run_case(True, 256),
 }
 
 
