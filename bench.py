@@ -172,10 +172,14 @@ def main() -> None:
     # tools/quality_run_full.py (full 12,647-cell head + refiner lift) —
     # from-scratch runs through the REAL coordinator on synthetic data
     # (no pretrained weights reachable offline).
+    # PRETRAIN.json: stored real-chip CLIP contrastive step measurement
+    # (tools/exp_r4_pretrain2.py) — the reference pretrain workload
+    # (pretrain_idun.py, frozen towers).
     for quality_path in (
         "data/out/QUALITY.json",
         "data/out/QUALITY_FULL.json",
         "data/out/QUALITY_V2.json",
+        "data/out/PRETRAIN.json",
     ):
         try:
             with open(quality_path) as f:
