@@ -28,6 +28,45 @@ def log(**kw):
     print(json.dumps(kw), flush=True)
 
 
+def categorize(opname: str, fusion: str) -> str:
+    """Map a device event (fusion name + HLO op_name metadata) to a
+    model component category (the categories tools/roofline.py models)."""
+    o = opname or ""
+    bwd = "transpose(" in o or "/grad" in o
+    pre = "bwd " if bwd else ""
+    # lax.cond platform_dependent branches = the pallas kernels
+    # (fused-block / noproj / qkv window attention).
+    if fusion.startswith("branch_") or "custom-call" in fusion:
+        return pre + "pallas kernel"
+    if "local_conv" in o or "depthwise" in o:
+        return pre + "dw conv"
+    # MBConv/PatchMerging conv2 is the depthwise 3x3 (models/tinyvit.py)
+    if "conv2/conv/conv_general_dilated" in o and (
+        "stage0" in o or "downsample" in o
+    ):
+        return pre + "dw conv"
+    if "patch_embed" in o or "downsample" in o:
+        return pre + "patch/downsample conv"
+    if "window_attention" in o or "fused_block" in o:
+        return pre + "pallas kernel"
+    if "attn" in o or "qkv" in o or "/proj" in o:
+        return pre + "attn (xla)"
+    if "mlp" in o or "fc1" in o or "fc2" in o:
+        return pre + "mlp"
+    if "norm" in o or "bn" in o:
+        return pre + "norm"
+    if "conv" in o:
+        return pre + "conv 1x1/3x3"
+    if "head" in o or "cell" in o or "fusion_layer" in o:
+        return pre + "head/fusion"
+    if fusion.startswith("copy") or fusion.startswith("dynamic"):
+        return pre + "copy/slice"
+    if ("convert" in fusion or "reduce" in fusion or "clamp" in fusion
+            or fusion.startswith("add") or fusion.startswith("multiply")):
+        return pre + "elementwise/convert"
+    return pre + "other"
+
+
 def _profile(jit_fn, args, label, sync, iters=3):
     """Trace `iters` dispatches of jit_fn(*args), aggregate TPU op time by
     fusion name, map fusion -> op_name metadata via compiled HLO text, and
@@ -69,39 +108,24 @@ def _profile(jit_fn, args, label, sync, iters=3):
                 ev.append(e)
     agg = {}
     for e in ev:
+        # the top-level program span ("jit__lambda(...)"/"jit_<name>")
+        # covers every child op — counting it doubles the total.  The
+        # train trace additionally emits one bare-integer span per
+        # dispatch ("0","1","2", each == the full step) — same problem.
+        if e["name"].startswith("jit") or e["name"].isdigit():
+            continue
         agg[e["name"]] = agg.get(e["name"], 0.0) + e.get("dur", 0) / 1e3
     total = sum(agg.values())
     log(probe=f"{label}_profile_total", ms_per_step=round(total / iters, 1))
+    dump = {
+        name: {"ms": round(ms / iters, 3),
+               "op": src.get(name.split("/")[-1], "")}
+        for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])
+    }
+    with open(f"/tmp/profile_r4_{label}.json", "w") as f:
+        json.dump(dump, f, indent=0)
 
-    def category(opname: str, fusion: str) -> str:
-        o = opname or ""
-        bwd = (
-            "transpose(" in o
-            or "jvp(" in o and "transpose" in o
-            or "/grad" in o
-        )
-        pre = "bwd " if bwd else ""
-        if "local_conv" in o or "depthwise" in o:
-            return pre + "dw conv"
-        if "patch_embed" in o or "downsample" in o:
-            return pre + "patch/downsample conv"
-        if "window_attention" in o or "fused_block" in o or (
-            "custom-call" in fusion
-        ):
-            return pre + "pallas kernel"
-        if "attn" in o:
-            return pre + "attn (xla)"
-        if "mlp" in o or "fc1" in o or "fc2" in o:
-            return pre + "mlp"
-        if "norm" in o or "bn" in o:
-            return pre + "norm"
-        if "conv" in o:
-            return pre + "conv 1x1/3x3"
-        if "head" in o or "cell" in o or "fusion_layer" in o:
-            return pre + "head/fusion"
-        if fusion.startswith("copy") or fusion.startswith("dynamic"):
-            return pre + "copy/slice"
-        return pre + "other"
+    category = categorize
 
     by_cat = {}
     rows = []
@@ -126,8 +150,11 @@ def run_embed():
     import jax
     import jax.numpy as jnp
 
+    from geoguessr_ai_tpu import config as C
     from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
     from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+    C.enable_compilation_cache()
 
     cfg = TinyViTConfig.tiny_vit_21m_512()
     cpu = jax.devices("cpu")[0]
@@ -176,6 +203,9 @@ def run_train():
     import jax
     import jax.numpy as jnp
 
+    from geoguessr_ai_tpu import config as C
+
+    C.enable_compilation_cache()
     from geoguessr_ai_tpu.config import OptimizerConfig
     from geoguessr_ai_tpu.geocells.manager import CentroidTable
     from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
