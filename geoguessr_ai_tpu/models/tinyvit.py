@@ -135,6 +135,16 @@ class TinyViTConfig:
     #: Default ON — the VJP routes through the measured-best hybrid
     #: training path (XLA fwd recompute + Pallas q-tiled backward).
     fused_block_noproj_stages: Tuple[int, ...] = (2,)
+    #: Fused stage-0 MBConv Pallas kernel (ops/mbconv.py): expand GEMM +
+    #: dw 3x3 + project GEMM + residual + GELUs in ONE pallas_call with
+    #: the 4x-expanded activation VMEM-resident — removes ~25 GB/step of
+    #: HBM round trips at B=512 (the round-4b profile charged stage 0
+    #: ~127 ms of the 592 ms embed step).  Inference-only: BN folds into
+    #: per-channel scale/bias from running stats; training keeps the XLA
+    #: path (batch stats).  Engages only when the conv sites are not
+    #: int8-quantized and quant_mode != "calibrate" (calibration must
+    #: record conv-site activation stats).
+    fused_mbconv: bool = False
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -362,6 +372,66 @@ class ConvBN(nn.Module):
         return x
 
 
+class _ConvKernelParam(nn.Module):
+    """Param holder with nn.Conv's tree layout ({kernel})."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape,
+            jnp.float32,
+        )
+
+
+class _BNParams(nn.Module):
+    """Param holder with nn.BatchNorm's tree layout (scale/bias params +
+    mean/var batch_stats) so the fused-MBConv path shares checkpoints
+    with the stock ConvBN."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.dim,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.dim,), jnp.float32),
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _ConvBNParams(nn.Module):
+    """ConvBN's parameter tree (conv/kernel + bn stats) without running
+    the ops — feeds the fused-MBConv kernel's folded-BN form."""
+
+    features: int
+    kernel_size: int = 1
+    depthwise: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        shape = (
+            self.kernel_size,
+            self.kernel_size,
+            1 if self.depthwise else cin,
+            self.features,
+        )
+        w = _ConvKernelParam(shape, name="conv")()
+        scale, bias, mean, var = _BNParams(self.features, name="bn")()
+        return w, scale, bias, mean, var
+
+
 class DropPath(nn.Module):
     """Stochastic depth: zero a whole sample's residual branch."""
 
@@ -388,10 +458,36 @@ class MBConv(nn.Module):
     exact_gelu: bool = False
     quant: str = "none"
     quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         hidden = int(x.shape[-1] * self.expand_ratio)
+        conv_quant_active = self.quant == "calibrate" or (
+            self.quant in ("dynamic", "static")
+            and "conv" in self.quant_sites
+        )
+        if self.fused and not train and not conv_quant_active:
+            from geoguessr_ai_tpu.ops.mbconv import fold_bn, fused_mbconv
+
+            cin = x.shape[-1]
+            w1, g1, be1, m1, v1 = _ConvBNParams(hidden, name="conv1")(cin)
+            w2, g2, be2, m2, v2 = _ConvBNParams(
+                hidden, kernel_size=3, depthwise=True, name="conv2"
+            )(hidden)
+            w3, g3, be3, m3, v3 = _ConvBNParams(
+                self.features, name="conv3"
+            )(hidden)
+            s1, b1 = fold_bn(g1, be1, m1, v1)
+            s2, b2 = fold_bn(g2, be2, m2, v2)
+            s3, b3 = fold_bn(g3, be3, m3, v3)
+            return fused_mbconv(
+                x.astype(self.dtype),
+                w1[0, 0], s1, b1,
+                w2[:, :, 0, :], s2, b2,
+                w3[0, 0], s3, b3,
+                exact_gelu=self.exact_gelu,
+            )
         shortcut = x
         x = ConvBN(
             hidden, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites, name="conv1"
@@ -921,6 +1017,7 @@ class TinyViT(nn.Module):
                         exact_gelu=cfg.exact_gelu,
                         quant=stage_quant(0),
                         quant_sites=cfg.quant_sites,
+                        fused=cfg.fused_mbconv,
                         name=f"stage0_block{d}",
                     )(x, train)
                     block_idx += 1

@@ -84,6 +84,12 @@ def _profile(jit_fn, args, label, sync, iters=3):
         src.setdefault(m.group(1), m.group(2))
 
     d = f"/tmp/tv_profile_r4_{label}"
+    # wipe stale traces: jax.profiler.trace creates a NEW timestamped
+    # subdir per run and the glob below would sum events across runs
+    # (the round-4b double-count).
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
     with jax.profiler.trace(d):
         out = None
         for _ in range(iters):
@@ -103,8 +109,21 @@ def _profile(jit_fn, args, label, sync, iters=3):
             ]
             if "TPU" in str(p.get("args", {}).get("name", ""))
         }
+        # keep only the "XLA Ops" thread: the "XLA Modules" thread holds
+        # whole-program spans that double every child op.
+        tid_ops = {
+            (e["pid"], e.get("tid"))
+            for e in data["traceEvents"]
+            if e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e["args"].get("name") == "XLA Ops"
+        }
         for e in data["traceEvents"]:
-            if e.get("ph") == "X" and e.get("pid") in pid_tpu:
+            if (
+                e.get("ph") == "X"
+                and e.get("pid") in pid_tpu
+                and (e["pid"], e.get("tid")) in tid_ops
+            ):
                 ev.append(e)
     agg = {}
     for e in ev:
