@@ -71,7 +71,7 @@ def fold_bn(scale, bias, mean, var, eps: float = 1e-5):
 
 def _mbconv_kernel(
     xp_hbm, w1_ref, sb1_ref, w2_ref, sb2_ref, w3_ref, sb3_ref,
-    o_ref, xs_ref, sem, *, th: int, exact: bool,
+    o_ref, xs_ref, sem, *, th: int, w_img: int, exact: bool,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -81,16 +81,22 @@ def _mbconv_kernel(
     cp.start()
     cp.wait()
 
-    xt = xs_ref[0]  # (th+2, W+2, C)
-    Hs, Ws, C = xt.shape
-    W = Ws - 2
+    # strip width is padded UP to a sublane multiple (8) and channels to
+    # a lane multiple (128): Mosaic memref slices must be aligned to the
+    # tiling on BOTH tiled dims, even for full logical extents.  Real
+    # image columns live at 1..w_img in padded coordinates; the padded
+    # channel rows of w1 are zero so the expand GEMM ignores them.
+    xt = xs_ref[0]  # (th+2, Wp, Cp)
+    Hs, Ws, Cp = xt.shape
+    W = w_img
+    C = o_ref.shape[-1]
     E = w1_ref.shape[1]
     dt = xt.dtype
 
     # 1x1 expand on the whole halo strip (the dw conv needs expanded
     # values at halo positions).
     h = jax.lax.dot_general(
-        xt.reshape(Hs * Ws, C), w1_ref[...],
+        xt.reshape(Hs * Ws, Cp), w1_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     h = (h * sb1_ref[0] + sb1_ref[1]).astype(dt)
@@ -100,13 +106,16 @@ def _mbconv_kernel(
     # but the strip halo was expanded from zero-padded x — and
     # gelu(bn1(0)) != 0.  Zero h wherever the halo row/col is image
     # padding (strip-interior halo rows are real rows and stay).
-    ri = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws), 0) + i * th
-    ci = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws), 1)
+    # full-shape iotas: inserting a minor dim on the i1 mask
+    # ((Hs,Ws) -> (Hs,Ws,1)) is a Mosaic reshape restriction for
+    # non-32-bit types.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws, E), 0) + i * th
+    ci = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws, E), 1)
     h_img = pl.num_programs(1) * th
     valid = (
-        (ci > 0) & (ci < Ws - 1) & (ri > 0) & (ri < h_img + 1)
+        (ci >= 1) & (ci <= W) & (ri > 0) & (ri < h_img + 1)
     )
-    h = jnp.where(valid[:, :, None], h, jnp.zeros_like(h))
+    h = jnp.where(valid, h, jnp.zeros_like(h))
 
     # depthwise 3x3 as 9 statically-shifted MACs, f32 accumulation
     # (XLA's conv accumulates f32 internally too).
@@ -126,7 +135,7 @@ def _mbconv_kernel(
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     p = (p * sb3_ref[0] + sb3_ref[1]).astype(dt).reshape(th, W, C)
-    out = _gelu(xt[1 : th + 1, 1 : W + 1, :] + p, exact)
+    out = _gelu(xt[1 : th + 1, 1 : W + 1, :C] + p, exact)
     o_ref[0] = out
 
 
@@ -145,11 +154,18 @@ def _mbconv_pallas(
     E = w1.shape[1]
     th = _pick_tile(H, tile_h or MB_TILE_H)
     dt = x.dtype
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic memref-slice alignment: the DMA'd input's second-minor dim
+    # must be a sublane multiple (8) and its minor dim a lane multiple
+    # (128) — pad width and channels up; the kernel masks the extra
+    # columns and the zero-padded w1 rows null the extra channels.
+    wp = -(-(W + 2) // 8) * 8
+    cp = -(-C // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - W - 1), (0, cp - C)))
+    w1p = jnp.pad(w1.astype(dt), ((0, cp - C), (0, 0)))
     const = lambda b, i: (0, 0)
     args = (
         xp,
-        w1.astype(dt),
+        w1p,
         jnp.stack([s1, b1]).astype(jnp.float32),
         # pre-round dw weights to compute dtype (the XLA conv path
         # multiplies bf16 weights), then widen for the f32 MACs.
@@ -159,12 +175,12 @@ def _mbconv_pallas(
         jnp.stack([s3, b3]).astype(jnp.float32),
     )
     return pl.pallas_call(
-        functools.partial(_mbconv_kernel, th=th, exact=exact),
+        functools.partial(_mbconv_kernel, th=th, w_img=W, exact=exact),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
         grid=(B, H // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((C, E), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, E), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, E), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((9, E), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, E), const, memory_space=pltpu.VMEM),
@@ -176,7 +192,7 @@ def _mbconv_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, th + 2, W + 2, C), dt),
+            pltpu.VMEM((1, th + 2, wp, cp), dt),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
