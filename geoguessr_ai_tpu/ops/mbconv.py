@@ -53,9 +53,20 @@ from jax.experimental.pallas import tpu as pltpu
 #: (16,128,384) 3.1 MB + out (16,128,96) x2 buffers 0.8 MB + weights
 #: ~0.2 MB -> ~6.5 MB, comfortably under the 16 MB scoped limit.
 MB_TILE_H = 16
+#: dw-MAC accumulator dtype — f32 matches XLA's conv accumulation;
+#: bf16 is a measurement knob (2x VPU packing, ~0.6% worst-case
+#: accumulation error over 9 terms).
+ACC_DTYPE = jnp.float32
+
+
+#: perf-ablation knob: skip the GELUs inside the kernel (WRONG numerics;
+#: used only to attribute VPU time in tools/exp_r4_mbconv.py).
+SKIP_GELU = False
 
 
 def _gelu(x, exact: bool):
+    if SKIP_GELU:
+        return x
     return jax.nn.gelu(x, approximate=not exact)
 
 
@@ -94,47 +105,51 @@ def _mbconv_kernel(
     dt = xt.dtype
 
     # 1x1 expand on the whole halo strip (the dw conv needs expanded
-    # values at halo positions).
+    # values at halo positions).  bf16 GEMM output + bf16 scale/bias
+    # matches the in-model path (einsum preferred_element_type=dtype,
+    # BN in compute dtype) and runs the E-space VPU ops at 2x packing.
     h = jax.lax.dot_general(
         xt.reshape(Hs * Ws, Cp), w1_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    h = (h * sb1_ref[0] + sb1_ref[1]).astype(dt)
+    ).astype(dt)  # Mosaic requires a 32-bit matmul acc; cast once
+    h = h * sb1_ref[0].astype(dt) + sb1_ref[1].astype(dt)
     h = _gelu(h, exact).reshape(Hs, Ws, E)
 
     # The dw conv pads the EXPANDED tensor with zeros ('same' padding),
     # but the strip halo was expanded from zero-padded x — and
     # gelu(bn1(0)) != 0.  Zero h wherever the halo row/col is image
-    # padding (strip-interior halo rows are real rows and stay).
-    # full-shape iotas: inserting a minor dim on the i1 mask
-    # ((Hs,Ws) -> (Hs,Ws,1)) is a Mosaic reshape restriction for
-    # non-32-bit types.
-    ri = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws, E), 0) + i * th
-    ci = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws, E), 1)
+    # padding (strip-interior halo rows are real rows and stay).  The
+    # mask is built 2D in f32 (a minor-dim insert on i1/bf16 is a Mosaic
+    # reshape restriction; f32 is allowed) and applied as one multiply.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws), 0) + i * th
+    ci = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws), 1)
     h_img = pl.num_programs(1) * th
     valid = (
         (ci >= 1) & (ci <= W) & (ri > 0) & (ri < h_img + 1)
     )
-    h = jnp.where(valid, h, jnp.zeros_like(h))
+    mask = valid.astype(jnp.float32)[:, :, None].astype(dt)
+    h = h * mask
 
-    # depthwise 3x3 as 9 statically-shifted MACs, f32 accumulation
-    # (XLA's conv accumulates f32 internally too).
-    acc = jnp.zeros((th, W, E), jnp.float32)
+    # depthwise 3x3 as 9 statically-shifted MACs.  f32 accumulation
+    # matches XLA's conv (which accumulates f32 internally); acc_dt is
+    # a measurement knob.
+    acc = jnp.zeros((th, W, E), ACC_DTYPE)
     for di in range(3):
         for dj in range(3):
             acc = acc + (
-                h[di : di + th, dj : dj + W, :].astype(jnp.float32)
-                * w2_ref[di * 3 + dj]
+                h[di : di + th, dj : dj + W, :].astype(ACC_DTYPE)
+                * w2_ref[di * 3 + dj].astype(ACC_DTYPE)
             )
-    y = (acc * sb2_ref[0] + sb2_ref[1]).astype(dt)
+    y = acc.astype(dt) * sb2_ref[0].astype(dt) + sb2_ref[1].astype(dt)
     y = _gelu(y, exact)
 
     # 1x1 project + BN + residual (strip center) + GELU.
     p = jax.lax.dot_general(
         y.reshape(th * W, E), w3_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    p = (p * sb3_ref[0] + sb3_ref[1]).astype(dt).reshape(th, W, C)
+    ).astype(dt)
+    p = p * sb3_ref[0].astype(dt) + sb3_ref[1].astype(dt)
+    p = p.reshape(th, W, C)
     out = _gelu(xt[1 : th + 1, 1 : W + 1, :C] + p, exact)
     o_ref[0] = out
 

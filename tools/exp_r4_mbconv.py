@@ -76,7 +76,7 @@ def run_micro():
     log(probe="micro_xla", ms=round(dt * 1e3, 2))
     ref = np.asarray(xla(*args)[:2, :4].astype(jnp.float32))
 
-    for tile in (8, 16, 32):
+    def sweep(label, tile):
         try:
             pk = jax.jit(
                 lambda *a: M._mbconv_pallas(*a, exact=False, tile_h=tile)
@@ -87,11 +87,21 @@ def run_micro():
                 / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-9)
             )
             dt = timeit(pk, args)
-            log(probe=f"micro_pallas_t{tile}", ms=round(dt * 1e3, 2),
-                cosine=round(cos, 6),
+            log(probe=label, ms=round(dt * 1e3, 2), cosine=round(cos, 6),
                 max_diff=round(float(np.abs(ref - out).max()), 4))
         except Exception as e:  # noqa: BLE001 — log-and-continue sweep
-            log(probe=f"micro_pallas_t{tile}", error=repr(e)[:300])
+            log(probe=label, error=repr(e)[:300])
+
+    for tile in (8, 16, 32):
+        sweep(f"micro_pallas_t{tile}", tile)
+    # ablations: attribute the VPU time (dw accumulator dtype; GELU)
+    M.ACC_DTYPE = jnp.bfloat16
+    sweep("micro_pallas_t32_accbf16", 32)
+    M.SKIP_GELU = True
+    sweep("micro_pallas_t32_accbf16_nogelu", 32)
+    M.ACC_DTYPE = jnp.float32
+    sweep("micro_pallas_t32_nogelu", 32)
+    M.SKIP_GELU = False
 
 
 def run_e2e(tile=None):
