@@ -145,6 +145,12 @@ class TinyViTConfig:
     #: int8-quantized and quant_mode != "calibrate" (calibration must
     #: record conv-site activation stats).
     fused_mbconv: bool = False
+    #: Route fused-block stages whose maps are multi-window (stage 1 at
+    #: 64x64/w16) through the 4D kernel (ops/window_attention.py
+    #: fused_block_attention_4d): the window partition moves from
+    #: materialized transposes (~19 ms of copy fusions at B=512,
+    #: round-4b profile) into the BlockSpec index map.
+    fused_block_4d: bool = False
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -624,11 +630,46 @@ class WindowAttention(nn.Module):
     use_pallas: bool = False
     fused_block: bool = False
     fused_block_noproj: bool = False
+    #: x is the raw (B, H, W, C) map; the window partition happens in
+    #: the 4D kernel's BlockSpec (fused-block path only).
+    four_d: bool = False
     quant: str = "none"
     quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x):
+        if self.four_d:
+            from geoguessr_ai_tpu.ops.window_attention import (
+                fused_block_attention_4d,
+            )
+
+            C = x.shape[-1]
+            ln_scale, ln_bias = _LNParams(C, name="norm")()
+            qkv_kernel, qkv_bias = _DenseParams(3 * self.dim, name="qkv")(C)
+            proj_kernel, proj_bias = _DenseParams(self.dim, name="proj")(
+                self.dim
+            )
+            bias_idx = _relative_bias_index(self.window)
+            biases = self.param(
+                "attention_biases",
+                nn.initializers.zeros,
+                (self.num_heads, int(bias_idx.max()) + 1),
+                jnp.float32,
+            )
+            return fused_block_attention_4d(
+                x.astype(self.dtype),
+                ln_scale,
+                ln_bias,
+                qkv_kernel,
+                qkv_bias,
+                proj_kernel,
+                proj_bias,
+                biases[:, bias_idx],
+                (self.dim // self.num_heads) ** -0.5,
+                self.num_heads,
+                self.window,
+            )
+
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
@@ -888,6 +929,7 @@ class TinyViTBlock(nn.Module):
     use_pallas_attention: bool = False
     use_fused_block: bool = False
     use_fused_block_noproj: bool = False
+    fused_block_4d: bool = False
     quant: str = "none"
     quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
@@ -911,6 +953,26 @@ class TinyViTBlock(nn.Module):
                 name="attn",
             )(tokens)
             attn_out = tokens.reshape(B, H, W, C)
+        elif (
+            self.fused_block_4d
+            and self.use_fused_block
+            and not self.use_fused_block_noproj
+            and H % w == 0
+            and W % w == 0
+            and (w * w) % 128 == 0
+        ):
+            # multi-window fused-block stage: the partition lives in the
+            # 4D kernel's BlockSpec — no transpose/reshape copies.
+            attn_out = WindowAttention(
+                self.dim,
+                self.num_heads,
+                w,
+                dtype=self.dtype,
+                fused_block=True,
+                four_d=True,
+                quant=self.quant, quant_sites=self.quant_sites,
+                name="attn",
+            )(x)
         else:
             pad_h = (-H) % w
             pad_w = (-W) % w
@@ -1036,6 +1098,7 @@ class TinyViT(nn.Module):
                         use_fused_block_noproj=(
                             stage in cfg.fused_block_noproj_stages
                         ),
+                        fused_block_4d=cfg.fused_block_4d,
                         quant=stage_quant(stage),
                         quant_sites=cfg.quant_sites,
                         name=f"stage{stage}_block{d}",

@@ -1539,3 +1539,231 @@ def _attention_bwd_merged_pallas(
         ),
         interpret=interpret,
     )(q, k, v, bias_in, g)
+
+
+# ---------------------------------------------------------------------------
+# 4D fused-block kernel (round 4b): same math as fused_block_attention,
+# but consuming the raw (B, H, W, C) feature map.  The stage-1 call site
+# previously materialized window_partition / window_unpartition
+# transposes around the kernel (~19 ms of copy fusions at B=512 in the
+# round-4b profile: 2 transposes + 4 reshapes over the 805 MB stage-1
+# map).  Here the partition IS the BlockSpec: grid (B, H/w, nW/wb) with
+# input/output blocks of wb horizontally-consecutive windows
+# (1, w, wb*w, C) — the pipeline's strided DMA replaces the transposes.
+# LN/qkv run on the block's rows in map order (row-independent ops);
+# per-window token vectors are built by in-kernel (w, w, C) -> (N, C)
+# reshapes, which are sublane-aligned collapses (w multiple of 8... w=16
+# at stage 1).
+# ---------------------------------------------------------------------------
+
+
+def _fb4d_kernel(
+    x_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ab_ref, o_ref, *, scale: float, hd: int, num_heads: int, eps: float,
+    window: int,
+):
+    _, w, WW, C = x_ref.shape
+    wb = WW // w
+    N = w * w
+    D = num_heads * hd
+    x = x_ref[0].reshape(w * WW, C)
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (
+        xc * jax.lax.rsqrt(var + eps) * ls_ref[0].astype(jnp.float32)
+        + lb_ref[0].astype(jnp.float32)
+    ).astype(x.dtype)
+
+    qkv = (
+        jax.lax.dot_general(
+            ln, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + bqkv_ref[0]
+    ).reshape(w, WW, 3 * D)
+
+    def slot(s):
+        return jnp.stack(
+            [
+                qkv[
+                    :, wi * w : (wi + 1) * w,
+                    h * 3 * hd + s * hd : h * 3 * hd + (s + 1) * hd,
+                ].reshape(N, hd)
+                for wi in range(wb)
+                for h in range(num_heads)
+            ],
+            axis=0,
+        )  # (wb*H, N, hd)
+
+    q, k, v = slot(0), slot(1), slot(2)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (wb*H, N, N) f32
+    ab = ab_ref[...].astype(jnp.float32)  # (H, N, N)
+    s = s * scale + jnp.concatenate([ab] * wb, axis=0)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (wb*H, N, hd)
+    o_cat = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [o[wi * num_heads + h] for h in range(num_heads)], axis=-1
+            )
+            for wi in range(wb)
+        ],
+        axis=0,
+    ).astype(x.dtype)  # (wb*N, D)
+    out = (
+        jax.lax.dot_general(
+            o_cat, wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bproj_ref[0].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+    outw = out.reshape(wb, w, w, C)
+    for wi in range(wb):
+        o_ref[0, :, wi * w : (wi + 1) * w, :] = outw[wi]
+
+
+def _fb4d_pallas(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+    scale, num_heads, eps, window, block_w=None, interpret=False,
+):
+    B, H, Wd, C = x.shape
+    w = window
+    N = w * w
+    D = w_proj.shape[0]
+    hd = D // num_heads
+    nw = Wd // w
+    wb = block_w or FUSED_BLOCK_WB
+    score_bytes = num_heads * N * N * 4
+    wb = max(1, min(wb, FUSED_BLOCK_SCORE_BYTES // score_bytes))
+    while nw % wb:
+        wb -= 1
+    dt = x.dtype
+    args = (
+        x,
+        ln_scale.reshape(1, C).astype(jnp.float32),
+        ln_bias.reshape(1, C).astype(jnp.float32),
+        w_qkv.astype(dt),
+        b_qkv.reshape(1, 3 * D).astype(dt),
+        w_proj.astype(dt),
+        b_proj.reshape(1, C).astype(jnp.float32),
+        bias.astype(dt),
+    )
+    const = lambda b, i, j: (0, 0)
+    const3 = lambda b, i, j: (0, 0, 0)
+    return pl.pallas_call(
+        functools.partial(
+            _fb4d_kernel, scale=scale, hd=hd, num_heads=num_heads,
+            eps=eps, window=w,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wd, C), dt),
+        grid=(B, H // w, nw // wb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, w, wb * w, C), lambda b, i, j: (b, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads, N, N), const3, memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w, wb * w, C), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=_cparams("arbitrary", "arbitrary", "arbitrary"),
+        interpret=interpret,
+    )(*args)
+
+
+def _window_partition(x, w):
+    B, H, Wd, C = x.shape
+    x = x.reshape(B, H // w, w, Wd // w, w, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, C)
+
+
+def _window_unpartition(x, w, hw):
+    H, Wd = hw
+    B = x.shape[0] // ((H // w) * (Wd // w))
+    x = x.reshape(B, H // w, Wd // w, w, w, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, Wd, -1)
+
+
+def _fb4d_xla(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+    scale, num_heads, eps, window, attn_fn=None,
+):
+    windows = _window_partition(x, window)
+    out = _fused_block_xla(
+        windows, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+        scale, num_heads, eps, attn_fn=attn_fn,
+    )
+    return _window_unpartition(out, window, (x.shape[1], x.shape[2]))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_block_attention_4d(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+    scale: float, num_heads: int, window: int, eps: float = 1e-5,
+):
+    """fused_block_attention over the raw (B, H, W, C) map: the window
+    partition lives in the BlockSpec index map instead of materialized
+    transposes.  Requires H % window == 0 == W % window.  Same parameter
+    conventions as fused_block_attention; returns (B, H, W, C)."""
+    return jax.lax.platform_dependent(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+        cpu=functools.partial(
+            _fb4d_xla, scale=scale, num_heads=num_heads, eps=eps,
+            window=window,
+        ),
+        default=functools.partial(
+            _fb4d_pallas, scale=scale, num_heads=num_heads, eps=eps,
+            window=window,
+        ),
+    )
+
+
+def _fb4d_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+              scale, num_heads, window, eps):
+    return (
+        fused_block_attention_4d(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
+            scale, num_heads, window, eps,
+        ),
+        (x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias),
+    )
+
+
+def _fb4d_bwd(scale, num_heads, window, eps, res, g):
+    # Same hybrid recompute as _fb_bwd (XLA GEMMs + Pallas attention
+    # backward via window_attention_qkv); the partition transposes
+    # differentiate as free XLA reshapes.
+    _, vjp = jax.vjp(
+        lambda *a: _fb4d_xla(
+            *a, scale, num_heads, eps, window,
+            attn_fn=window_attention_qkv,
+        ),
+        *res,
+    )
+    return vjp(g)
+
+
+fused_block_attention_4d.defvjp(_fb4d_fwd, _fb4d_bwd)
