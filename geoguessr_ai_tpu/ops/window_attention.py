@@ -1174,6 +1174,12 @@ S2_HEAD_BATCHED = False
 #: VMEM_LIMIT_BYTES raised keeps the FULL expanded bias resident and
 #: reads x once — the residency the four round-3 designs needed.
 S2_HEAD_BLOCK = 4
+#: software-pipeline the head/q-tile loop: issue step i+1's score
+#: matmul (MXU) before step i's softmax (VPU) so the independent units
+#: overlap — the round-4b structural roofline puts the kernel's
+#: serialized MXU+VPU sum exactly at its measured 25.6 ms/block, with
+#: ~10 ms/block reclaimable by overlap.
+S2_SW_PIPELINE = False
 
 
 def _fb_s2_kernel(
@@ -1252,6 +1258,37 @@ def _fb_s2_kernel(
             o_ref[0, rows, :] = jnp.concatenate(
                 [o[h] for h in range(hb)], axis=-1
             ).astype(o_ref.dtype)
+    elif S2_SW_PIPELINE:
+        # software pipeline: issue step i+1's score matmul before step
+        # i's softmax so the MXU fills while the VPU normalizes.
+        steps = [(h, qt) for h in range(hb) for qt in range(nq)]
+
+        def score(i):
+            h, qt = steps[i]
+            c0 = h * 3 * hd
+            rows = slice(qt * block_q, (qt + 1) * block_q)
+            s = jax.lax.dot_general(
+                qkv[rows, c0 : c0 + hd],
+                qkv[:, c0 + hd : c0 + 2 * hd],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return s * scale + ab_ref[h, rows].astype(jnp.float32)
+
+        s_cur = score(0)
+        for i, (h, qt) in enumerate(steps):
+            s_nxt = score(i + 1) if i + 1 < len(steps) else None
+            rows = slice(qt * block_q, (qt + 1) * block_q)
+            m = jnp.max(s_cur, axis=-1, keepdims=True)
+            p = jnp.exp(s_cur - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            c0 = h * 3 * hd
+            v = qkv[:, c0 + 2 * hd : c0 + 3 * hd]
+            o_ref[0, rows, h * hd : (h + 1) * hd] = jnp.dot(
+                p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+            s_cur = s_nxt
     else:
         for h in range(hb):
             c0 = h * 3 * hd
