@@ -1163,10 +1163,14 @@ fused_block_attention.defvjp(_fb_fwd, _fb_bwd)
 # ---------------------------------------------------------------------------
 
 #: q rows per score tile inside the stage-2 no-proj kernel.  MEASURED
-#: e2e at B=512 production shapes: bq=512 = 213.2 panos/s vs bq=256 =
-#: 208.7 (tools/exp_r4_s2noproj.py) — the full-N score tile halves the
-#: per-head loop's k/v re-reads and still fits the ~14 MB VMEM budget.
-S2_BLOCK_Q = 512
+#: e2e at B=512 production shapes: serial bq=512 = 213.2 panos/s beat
+#: serial bq=256 (208.7, tools/exp_r4_s2noproj.py) — but with the
+#: round-4b software pipeline the optimum inverts: pipelined bq=128 =
+#: 25.81 ms/block vs serial bq=512's 28.81 (bq=64 29.8, bq=256 26.8,
+#: bq=512+VMEM-raise 27.7) — short tiles give the scheduler
+#: interleavable MXU/VPU chains.  e2e: 878.4 img/s vs 855.2, numerics
+#: EXACT (tools/exp_r4_s2pipe.py + /tmp sweep logs).
+S2_BLOCK_Q = 128
 #: batch the chunk's heads into one dot_general (True) or loop heads
 #: sequentially with per-head score tiles (False, VMEM-lean default).
 S2_HEAD_BATCHED = False
@@ -1178,8 +1182,9 @@ S2_HEAD_BLOCK = 4
 #: matmul (MXU) before step i's softmax (VPU) so the independent units
 #: overlap — the round-4b structural roofline puts the kernel's
 #: serialized MXU+VPU sum exactly at its measured 25.6 ms/block, with
-#: ~10 ms/block reclaimable by overlap.
-S2_SW_PIPELINE = False
+#: ~10 ms/block reclaimable by overlap.  MEASURED: at bq=128 the
+#: pipeline wins 37.3 -> 25.8 ms/block standalone; default ON.
+S2_SW_PIPELINE = True
 
 
 def _fb_s2_kernel(
