@@ -905,6 +905,10 @@ def supports_pallas() -> bool:
 
 #: windows per fused-block grid cell (benchmarks sweep).
 FUSED_BLOCK_WB = 4
+#: software-pipeline the fused-block kernel's window loop (issue window
+#: w+1's score matmul before window w's softmax — the stage-2 lever
+#: applied to stages 1/3).  Engages only when WB >= 2.
+FB_SW_PIPELINE = False
 
 
 def _fused_block_kernel(
@@ -933,6 +937,53 @@ def _fused_block_kernel(
         + bqkv_ref[0]
     ).reshape(WB, N, 3 * D)
 
+    def slot_w(w, s):
+        return jnp.stack(
+            [
+                qkv[w, :, h * 3 * hd + s * hd : h * 3 * hd + (s + 1) * hd]
+                for h in range(num_heads)
+            ],
+            axis=0,
+        )  # (H, N, hd)
+
+    ab = ab_ref[...].astype(jnp.float32)  # (H, N, N)
+
+    if FB_SW_PIPELINE and WB >= 2:
+        # per-window lookahead: window w+1's score matmul issues before
+        # window w's softmax so the MXU and VPU overlap (the measured
+        # stage-2 lever, exp_r4_s2pipe).
+        def score(w):
+            s = jax.lax.dot_general(
+                slot_w(w, 0), slot_w(w, 1), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (H, N, N)
+            return s * scale + ab
+
+        s_cur = score(0)
+        for w in range(WB):
+            s_nxt = score(w + 1) if w + 1 < WB else None
+            m = jnp.max(s_cur, axis=-1, keepdims=True)
+            p = jnp.exp(s_cur - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            v = slot_w(w, 2)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (H, N, hd)
+            o_cat = jnp.concatenate(
+                [o[h] for h in range(num_heads)], axis=-1
+            ).astype(x.dtype)  # (N, D)
+            out = (
+                jax.lax.dot_general(
+                    o_cat, wproj_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bproj_ref[0].astype(jnp.float32)
+            )
+            o_ref[w] = out.astype(o_ref.dtype)
+            s_cur = s_nxt
+        return
+
     def slot(s):
         return jnp.stack(
             [
@@ -948,7 +999,6 @@ def _fused_block_kernel(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (WB*H, N, N) f32
-    ab = ab_ref[...].astype(jnp.float32)  # (H, N, N)
     s = s * scale + jnp.concatenate([ab] * WB, axis=0)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
