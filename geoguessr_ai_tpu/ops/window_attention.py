@@ -497,6 +497,13 @@ def _qkv_bwd_kernel(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        # dp is independent of s — issue before the softmax so the MXU
+        # overlaps the VPU (round-4b reorder; identical numerics).
+        # dp[nq, nk] = sum_d g[nq, d] v[nk, d]
+        dp = jax.lax.dot_general(
+            gh, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         s = s * scale + bt
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
@@ -506,11 +513,6 @@ def _qkv_bwd_kernel(
         # dv[nk, d] = sum_nq p[nq, nk] g[nq, d]
         dv = jax.lax.dot_general(
             pv, gh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        # dp[nq, nk] = sum_d g[nq, d] v[nk, d]
-        dp = jax.lax.dot_general(
-            gh, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         t = jnp.sum(dp * p, axis=-1, keepdims=True)
@@ -620,6 +622,14 @@ def _bwd_tile_math(q, k, v, b, gh, scale):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, N)
+    # dp is independent of s — issuing its matmul BEFORE the softmax
+    # lets the MXU fill while the VPU normalizes (the round-4b
+    # software-pipeline lever; identical numerics, pure reorder).
+    # dp[nq, nk] = sum_d g[nq, d] v[nk, d]
+    dp = jax.lax.dot_general(
+        gh, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     s = s * scale + b
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -628,11 +638,6 @@ def _bwd_tile_math(q, k, v, b, gh, scale):
     # dv[nk, d] = sum_nq p[nq, nk] g[nq, d]
     dv = jax.lax.dot_general(
         pv, gh, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # dp[nq, nk] = sum_d g[nq, d] v[nk, d]
-    dp = jax.lax.dot_general(
-        gh, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     t = jnp.sum(dp * p, axis=-1, keepdims=True)
