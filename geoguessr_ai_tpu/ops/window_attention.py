@@ -1240,6 +1240,11 @@ S2_HEAD_BLOCK = 4
 #: ~10 ms/block reclaimable by overlap.  MEASURED: at bq=128 the
 #: pipeline wins 37.3 -> 25.8 ms/block standalone; default ON.
 S2_SW_PIPELINE = True
+#: score-matmul lookahead distance (resident (bq, N) f32 tiles =
+#: depth+1; 0.5 MB each at bq=128).  MEASURED standalone one-block:
+#: depth 1/2/3 = 25.95/29.23/34.65 ms — deeper lookahead loses to
+#: register/VMEM pressure; 1 is optimal.
+S2_PIPELINE_DEPTH = 1
 
 
 def _fb_s2_kernel(
@@ -1319,9 +1324,10 @@ def _fb_s2_kernel(
                 [o[h] for h in range(hb)], axis=-1
             ).astype(o_ref.dtype)
     elif S2_SW_PIPELINE:
-        # software pipeline: issue step i+1's score matmul before step
+        # software pipeline: issue step i+D's score matmul before step
         # i's softmax so the MXU fills while the VPU normalizes.
         steps = [(h, qt) for h in range(hb) for qt in range(nq)]
+        depth = min(S2_PIPELINE_DEPTH, len(steps) - 1)
 
         def score(i):
             h, qt = steps[i]
@@ -1335,9 +1341,11 @@ def _fb_s2_kernel(
             )
             return s * scale + ab_ref[h, rows].astype(jnp.float32)
 
-        s_cur = score(0)
+        pending = [score(i) for i in range(depth)]
         for i, (h, qt) in enumerate(steps):
-            s_nxt = score(i + 1) if i + 1 < len(steps) else None
+            if i + depth < len(steps):
+                pending.append(score(i + depth))
+            s_cur = pending.pop(0)
             rows = slice(qt * block_q, (qt + 1) * block_q)
             m = jnp.max(s_cur, axis=-1, keepdims=True)
             p = jnp.exp(s_cur - m)
@@ -1348,7 +1356,6 @@ def _fb_s2_kernel(
                 p.astype(v.dtype), v,
                 preferred_element_type=jnp.float32,
             ).astype(o_ref.dtype)
-            s_cur = s_nxt
     else:
         for h in range(hb):
             c0 = h * 3 * hd
