@@ -49,6 +49,10 @@ HEAD_BLOCK = 2
 IMG_BLOCK = 1
 #: grid dimension semantics for the pallas_call.
 DIMENSION_SEMANTICS = ("arbitrary", "arbitrary")
+#: software-pipeline the (image, head) loop: issue unit u+1's score
+#: matmul before unit u's softmax so MXU and VPU overlap (the round-4b
+#: stage-2 lever applied to CLIP).
+CLIP_SW_PIPELINE = False
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
@@ -57,6 +61,36 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int):
     # IB images x HB heads stack into ONE batched dot (Mosaic allows one
     # matmul batch dim) so each MXU dispatch carries more work.
     IB = q_ref.shape[0]
+
+    if CLIP_SW_PIPELINE:
+        hb = q_ref.shape[-1] // hd
+        units = [(i, h) for i in range(IB) for h in range(hb)]
+
+        def score(u):
+            i, h = units[u]
+            cols = slice(h * hd, (h + 1) * hd)
+            return (
+                jax.lax.dot_general(
+                    q_ref[i, :, cols], k_ref[i, :, cols],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # (N, N) f32
+
+        s_cur = score(0)
+        for u, (i, h) in enumerate(units):
+            s_nxt = score(u + 1) if u + 1 < len(units) else None
+            m = jnp.max(s_cur, axis=-1, keepdims=True)
+            p = jnp.exp(s_cur - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            cols = slice(h * hd, (h + 1) * hd)
+            v = v_ref[i, :, cols]
+            o_ref[i, :, cols] = jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+            s_cur = s_nxt
+        return
 
     def heads(ref):
         hb = ref.shape[-1] // hd
