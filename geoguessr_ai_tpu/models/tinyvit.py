@@ -177,6 +177,21 @@ class TinyViTConfig:
         )
 
     @staticmethod
+    def tiny_vit_11m_224(**overrides) -> "TinyViTConfig":
+        """timm ``tiny_vit_11m_224`` geometry — completes the TinyViT
+        family the reference's finetune pipeline can select from
+        (5m/11m/21m; /root/reference/finetune_tinyvit/
+        train_tinyvit_timm.py model-name argument)."""
+        return TinyViTConfig(
+            image_size=224,
+            embed_dims=(64, 128, 256, 448),
+            depths=(2, 2, 6, 2),
+            num_heads=(2, 4, 8, 14),
+            window_sizes=(7, 7, 14, 7),
+            **overrides,
+        )
+
+    @staticmethod
     def test_tiny(**overrides) -> "TinyViTConfig":
         """Miniature config for fast CPU tests."""
         return TinyViTConfig(

@@ -235,3 +235,32 @@ def test_window_partition_unpartition_inverse():
             np.asarray(windows[0].reshape(w, w, 5)),
             np.asarray(x[0, :w, :w, :]),
         )
+
+
+def test_tiny_vit_family_presets_param_counts():
+    """The three timm family geometries (5m/11m/21m) the reference's
+    finetune pipeline selects from (train_tinyvit_timm.py model names)
+    initialize with the expected parameter counts (shape-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+
+    expected = {
+        "tiny_vit_5m_224": (5.0e6, 5.8e6),
+        "tiny_vit_11m_224": (10.5e6, 11.5e6),
+        "tiny_vit_21m_512": (20.5e6, 21.5e6),
+    }
+    for name, (lo, hi) in expected.items():
+        cfg = getattr(TinyViTConfig, name)()
+        model = TinyViT(cfg)
+        shapes = jax.eval_shape(
+            model.init,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32),
+        )
+        n = sum(
+            int(np.prod(a.shape))
+            for a in jax.tree_util.tree_leaves(shapes["params"])
+        )
+        assert lo < n < hi, f"{name}: {n} params outside [{lo}, {hi}]"
