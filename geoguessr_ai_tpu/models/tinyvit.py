@@ -302,6 +302,17 @@ class _PointwiseConv(nn.Module):
 #: knob; default stays the conv lowering.
 DW_SHIFTED = False
 
+#: 1x1 lowering for PatchMerging conv1 (which feeds a stride-2 dw conv):
+#: "conv" avoids the einsum-GEMM -> dw layout copy.  See ConvBN.
+PM_CONV1_LOWERING = "conv"
+#: same knob for MBConv conv1 (feeds the stride-1 dw conv at stage 0).
+MB_CONV1_LOWERING = "conv"
+#: and for the 1x1 convs CONSUMING a dw output (MBConv conv3 /
+#: PatchMerging conv3) — the dw emitter's output layout may force the
+#: mirror-image copy into an einsum GEMM.
+MB_CONV3_LOWERING = "einsum"
+PM_CONV3_LOWERING = "einsum"
+
 
 class _DWConvParams(nn.Module):
     """Param holder with nn.Conv's depthwise tree layout ({conv:{kernel
@@ -344,7 +355,17 @@ def _dw_conv3x3_shifted(x, w, stride: int, dtype):
 
 
 class ConvBN(nn.Module):
-    """Conv (no bias) + BatchNorm, NHWC.  BN stats live in 'batch_stats'."""
+    """Conv (no bias) + BatchNorm, NHWC.  BN stats live in 'batch_stats'.
+
+    ``pointwise_lowering``: "einsum" lowers 1x1 convs to a GEMM (2x
+    faster than XLA's conv path STANDALONE — the round-1 verdict), but
+    when the consumer is a depthwise conv the GEMM's output layout
+    ({2,3,1,0}) forces a full layout copy into the dw emitter's
+    {0,3,2,1} (the 10 ms copy.241 in the round-4b profile).  "conv"
+    keeps XLA's conv emitter, whose output feeds the dw directly —
+    measured 2x faster for the 1x1->dw pair (22.45 vs 44.80 ms at the
+    downsample0 shape, tools ledger round 4b).  Both share the nn.Conv
+    parameter tree."""
 
     features: int
     kernel: int = 1
@@ -353,10 +374,28 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.bfloat16
     quant: str = "none"
     quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
+    pointwise_lowering: str = "einsum"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        if self.kernel == 1 and self.stride == 1 and self.groups == 1:
+        conv_quant_active = self.quant != "none" and (
+            self.quant == "calibrate" or "conv" in self.quant_sites
+        )
+        if (
+            self.kernel == 1
+            and self.stride == 1
+            and self.groups == 1
+            and self.pointwise_lowering == "conv"
+            and not conv_quant_active
+        ):
+            x = nn.Conv(
+                self.features,
+                (1, 1),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        elif self.kernel == 1 and self.stride == 1 and self.groups == 1:
             x = _PointwiseConv(
                 self.features,
                 dtype=self.dtype,
@@ -511,7 +550,8 @@ class MBConv(nn.Module):
             )
         shortcut = x
         x = ConvBN(
-            hidden, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites, name="conv1"
+            hidden, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites,
+            pointwise_lowering=MB_CONV1_LOWERING, name="conv1"
         )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
@@ -523,6 +563,7 @@ class MBConv(nn.Module):
             1,
             dtype=self.dtype,
             quant=self.quant, quant_sites=self.quant_sites,
+            pointwise_lowering=MB_CONV3_LOWERING,
             name="conv3",
         )(x, train)
         x = DropPath(self.drop_path)(x, deterministic=not train)
@@ -558,8 +599,11 @@ class PatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # conv1 feeds the stride-2 depthwise conv: the conv lowering
+        # avoids the GEMM->dw layout copy (see ConvBN docstring).
         x = ConvBN(
             self.features, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites,
+            pointwise_lowering=PM_CONV1_LOWERING,
             name="conv1",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
@@ -574,6 +618,7 @@ class PatchMerging(nn.Module):
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
             self.features, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites,
+            pointwise_lowering=PM_CONV3_LOWERING,
             name="conv3",
         )(x, train)
         return x
