@@ -912,8 +912,13 @@ def supports_pallas() -> bool:
 FUSED_BLOCK_WB = 4
 #: software-pipeline the fused-block kernel's window loop (issue window
 #: w+1's score matmul before window w's softmax — the stage-2 lever
-#: applied to stages 1/3).  Engages only when WB >= 2.
+#: applied to stages 1/3).  Engages only when WB >= 2.  MEASURED
+#: NEGATIVE e2e (873.4 vs 880.7 img/s): the per-window loop forfeits
+#: the batched-dot efficiency.
 FB_SW_PIPELINE = False
+#: lighter variant: split the ONE batched score dot in two halves and
+#: interleave their softmaxes — keeps MXU batching.
+FB_HALF_PIPELINE = False
 
 
 def _fused_block_kernel(
@@ -1000,18 +1005,45 @@ def _fused_block_kernel(
         )  # (WB*H, N, hd)
 
     q, k, v = slot(0), slot(1), slot(2)
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (WB*H, N, N) f32
-    s = s * scale + jnp.concatenate([ab] * WB, axis=0)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (WB*H, N, hd)
+    abw = jnp.concatenate([ab] * WB, axis=0)
+
+    def sdot(sl):
+        return (
+            jax.lax.dot_general(
+                q[sl], k[sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + abw[sl]
+        )
+
+    def smax(s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    def odot(p, sl):
+        return jax.lax.dot_general(
+            p.astype(v.dtype), v[sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    G = q.shape[0]
+    if FB_HALF_PIPELINE and G >= 2:
+        # split the batched score dot in two and interleave: the second
+        # half's score matmul (MXU) issues before the first half's
+        # softmax (VPU) — keeps the batched-dot efficiency the
+        # per-window FB_SW_PIPELINE variant forfeited.
+        h1 = slice(0, G // 2)
+        h2 = slice(G // 2, G)
+        s_a = sdot(h1)
+        s_b = sdot(h2)
+        o = jnp.concatenate(
+            [odot(smax(s_a), h1), odot(smax(s_b), h2)], axis=0
+        )  # (WB*H, N, hd)
+    else:
+        s = sdot(slice(None))  # (WB*H, N, N) f32
+        o = odot(smax(s), slice(None))  # (WB*H, N, hd)
     o_cat = jnp.concatenate(
         [
             jnp.concatenate(
