@@ -168,9 +168,10 @@ def main():
     inventory = json.loads(proc.stdout.splitlines()[-1])
 
     pb = _param_bytes()
-    # Measured single-chip step: 428.2 ms at micro=16 panos/chip
-    # (docs/performance.md, tools/exp_r4_bwdmerge.py on v5e).
-    step_ms = 428.2
+    # Measured single-chip step at micro=16 panos/chip (round-4b:
+    # Pallas backwards + merged bwd + pipelined stage-2 primal +
+    # dw-feeding pointwise lowering — docs/performance.md).
+    step_ms = 391.2
     panos_per_chip_step = 16
     rows = []
     for n in (2, 4, 8, 16):
@@ -193,7 +194,7 @@ def main():
     out = {
         "model": "SuperGuessr + TinyViT-21M-512, 12647 cells",
         "measured_single_chip_step_ms": step_ms,
-        "measured_single_chip_panos_s": 37.4,
+        "measured_single_chip_panos_s": 40.9,
         **pb,
         "train_collectives_dp8_hlo": inventory,
         "embed_collectives": "none (verified: embed HLO has no cross-replica ops; scales linearly)",
