@@ -120,6 +120,8 @@ PROBES = {
     "b128_rall_accum2": lambda: _train_case(
         128, accum=2, remat_stages=(0, 1, 2, 3)
     ),
+    # round-4b wave 2: accum rate at the new 391.2 ms micro step
+    "b64_accum4": lambda: _train_case(64, accum=4),
 }
 
 
