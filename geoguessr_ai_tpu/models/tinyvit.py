@@ -313,6 +313,54 @@ MB_CONV1_LOWERING = "conv"
 MB_CONV3_LOWERING = "einsum"
 PM_CONV3_LOWERING = "einsum"
 
+#: Round-5 int8 campaign (VERDICT r4 #1): when True, conv sites whose
+#: measured-best lowering is the XLA CONV emitter (MBConv/PatchMerging
+#: conv1, the kxk patch-embed convs) quantize through
+#: ops.quant.int8_static_conv instead of falling back to the einsum GEMM
+#: path — the fallback would undo the wave-2 layout win (the einsum
+#: output layout forces a 3.2 GB copy into the dw emitter).  Applies in
+#: quant_mode "static"/"calibrate" only; calibration must run with the
+#: SAME value of this flag as the static forward (the recorded
+#: 'act_stats' tree paths differ per branch).
+CONV_INT8_EMITTER = False
+
+
+def _record_or_read_amax(mdl, x, quant: str, name: str):
+    """calibrate: record abs-max under 'act_stats'/name and return None;
+    static: return the calibrated amax from 'act_scales'/name."""
+    if quant == "calibrate":
+        stat = mdl.variable(
+            "act_stats", name, lambda: jnp.zeros((), jnp.float32)
+        )
+        if not mdl.is_initializing():
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        return None
+    amax = mdl.variable(
+        "act_scales", name, lambda: jnp.full((), 127.0, jnp.float32)
+    )
+    return amax.value
+
+
+def _maybe_quant_dw_input(mdl, x, quant: str, sites: Tuple[str, ...]):
+    """Opt-in site "dw": store the activation feeding a depthwise conv
+    as int8 in HBM (ops.quant.fake_quant_static).  The dw convs are
+    bytes-bound (round-4b profile: 54.6 ms), so halving the producer's
+    write and the dw read is the entire win — compute stays bf16.
+    Calibration always records (one calibration serves any site
+    subset, matching _quant_gemm's contract)."""
+    if quant == "calibrate":
+        _record_or_read_amax(mdl, x, quant, "dw_in_amax")
+        return x
+    if quant == "static" and "dw" in sites:
+        from geoguessr_ai_tpu.ops.quant import fake_quant_static
+
+        return fake_quant_static(
+            x, _record_or_read_amax(mdl, x, quant, "dw_in_amax")
+        )
+    return x
+
 
 class _DWConvParams(nn.Module):
     """Param holder with nn.Conv's depthwise tree layout ({conv:{kernel
@@ -381,7 +429,45 @@ class ConvBN(nn.Module):
         conv_quant_active = self.quant != "none" and (
             self.quant == "calibrate" or "conv" in self.quant_sites
         )
-        if (
+        # int8 on the conv EMITTER itself (round 5): engages for sites
+        # whose measured-best lowering is a conv op — kxk dense convs
+        # and "conv"-lowered 1x1s — so conv-site quantization no longer
+        # forces the einsum fallback (and its dw-feeding layout copy).
+        use_int8_emitter = (
+            CONV_INT8_EMITTER
+            and conv_quant_active
+            and self.quant in ("static", "calibrate")
+            and self.groups == 1
+            and (self.kernel > 1 or self.pointwise_lowering == "conv")
+        )
+        if use_int8_emitter:
+            cin = x.shape[-1]
+            w = _ConvKernelParam(
+                (self.kernel, self.kernel, cin, self.features), name="conv"
+            )()
+            amax = _record_or_read_amax(self, x, self.quant, "in_amax")
+            pad = self.kernel // 2
+            if amax is None:  # calibrate: exact conv, stats recorded
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    w.astype(self.dtype),
+                    window_strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=self.dtype,
+                )
+            else:
+                from geoguessr_ai_tpu.ops.quant import int8_static_conv
+
+                x = int8_static_conv(
+                    x,
+                    w,
+                    amax,
+                    stride=self.stride,
+                    padding=pad,
+                    out_dtype=self.dtype,
+                )
+        elif (
             self.kernel == 1
             and self.stride == 1
             and self.groups == 1
@@ -554,6 +640,7 @@ class MBConv(nn.Module):
             pointwise_lowering=MB_CONV1_LOWERING, name="conv1"
         )(x, train)
         x = _gelu(x, self.exact_gelu)
+        x = _maybe_quant_dw_input(self, x, self.quant, self.quant_sites)
         x = ConvBN(
             hidden, 3, groups=hidden, dtype=self.dtype, name="conv2"
         )(x, train)
@@ -575,15 +662,26 @@ class PatchEmbed(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     exact_gelu: bool = False
+    quant: str = "none"
+    quant_sites: Tuple[str, ...] = _ALL_QUANT_SITES
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # The stem convs only quantize through the int8 conv emitter
+        # (CONV_INT8_EMITTER); they never had an einsum form.  conv1
+        # consumes normalized pixels (K = 27 — too shallow for the MXU
+        # int8 mode to matter, but int8 halves the 805 MB@B=512 input
+        # read); conv2 is the 48->96 GEMM-conv at 256^2.
         x = ConvBN(
-            self.features // 2, 3, stride=2, dtype=self.dtype, name="conv1"
+            self.features // 2, 3, stride=2, dtype=self.dtype,
+            quant=self.quant, quant_sites=self.quant_sites,
+            name="conv1",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
         x = ConvBN(
-            self.features, 3, stride=2, dtype=self.dtype, name="conv2"
+            self.features, 3, stride=2, dtype=self.dtype,
+            quant=self.quant, quant_sites=self.quant_sites,
+            name="conv2",
         )(x, train)
         return x
 
@@ -607,6 +705,7 @@ class PatchMerging(nn.Module):
             name="conv1",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
+        x = _maybe_quant_dw_input(self, x, self.quant, self.quant_sites)
         x = ConvBN(
             self.features,
             3,
@@ -1102,6 +1201,8 @@ class TinyViT(nn.Module):
             cfg.embed_dims[0],
             dtype=dtype,
             exact_gelu=cfg.exact_gelu,
+            quant=stage_quant(0),
+            quant_sites=cfg.quant_sites,
             name="patch_embed",
         )(x, train)
 

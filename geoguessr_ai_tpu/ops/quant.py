@@ -134,6 +134,65 @@ def int8_static_einsum_nc_cd(
     return y.reshape(*lead, w.shape[-1])
 
 
+def int8_static_conv(
+    x: jax.Array,
+    w: jax.Array,
+    amax: jax.Array,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """NHWC conv through XLA's conv emitter with int8 operands.
+
+    Round-5 lever (VERDICT r4 #1): the round-4b wave-2 lowering revision
+    moved the dw-feeding 1x1s back to XLA *conv* emitters (the einsum
+    GEMM layout forced a 3.2 GB copy into the depthwise emitter), which
+    un-closed the int8 verdict for exactly those sites — the proven 2x
+    int8 MXU mode (docs/performance.md round-4b int8 chapter: 1.8x at
+    the fc1 shape) was never re-tried on the conv form.  This keeps the
+    conv emitter (so the dw consumer still reads its native layout) and
+    swaps the operands to int8: activations on a STATIC calibrated
+    scale (elementwise quantize, fuses into the producer epilogue — the
+    property that made the MLP static path win), weights per-output-
+    channel.
+
+    x: (B, H, W, Cin) float; w: (kh, kw, Cin, Cout) f32 (nn.Conv
+    layout); amax: calibrated activation abs-max (f32 scalar).
+    """
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    wq, ws = quantize_symmetric(w.astype(jnp.float32), axis=3)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (scale * ws.reshape(-1))
+    return y.astype(out_dtype)
+
+
+def fake_quant_static(x: jax.Array, amax: jax.Array) -> jax.Array:
+    """Symmetric int8 quantize -> dequantize with a static scale.
+
+    Used to store an activation tensor int8 in HBM between two fusions
+    (e.g. the GELU output feeding a bytes-bound depthwise conv: the
+    producer's epilogue writes int8 — half the HBM bytes — and the
+    consumer's operand fusion converts back).  Returns x's dtype; the
+    int8 intermediate is the materialization point.
+    """
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return (xq.astype(jnp.float32) * scale).astype(x.dtype)
+
+
 def calibrate_act_stats(apply_calibrate, variables, batches) -> dict:
     """Accumulate per-site activation abs-max over calibration batches.
 

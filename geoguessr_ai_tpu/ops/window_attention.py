@@ -908,6 +908,12 @@ def supports_pallas() -> bool:
 # stage-2 kernel designs).
 # ---------------------------------------------------------------------------
 
+#: NOTE on all module-level knobs in this file (FUSED_BLOCK_WB,
+#: FB_SW_PIPELINE, FB_HALF_PIPELINE, S2_*, CLIP_SW_PIPELINE, ...): they
+#: are read at TRACE time inside kernel builders, so flipping one after
+#: a jit program is cached has NO effect on that program — A/B toggling
+#: must use a fresh jit trace per setting (a new jitted callable, or
+#: distinct closed-over config as the experiment scripts do).
 #: windows per fused-block grid cell (benchmarks sweep).
 FUSED_BLOCK_WB = 4
 #: software-pipeline the fused-block kernel's window loop (issue window
@@ -1258,6 +1264,10 @@ fused_block_attention.defvjp(_fb_fwd, _fb_bwd)
 #: interleavable MXU/VPU chains.  e2e: 878.4 img/s vs 855.2, numerics
 #: EXACT (tools/exp_r4_s2pipe.py + /tmp sweep logs).
 S2_BLOCK_Q = 128
+#: the serial (S2_SW_PIPELINE=False) fallback's own default — its
+#: measured optimum (bq=512 = 213.2 panos/s) differs from the pipelined
+#: path's (see _fb_s2_pallas).
+S2_SERIAL_BLOCK_Q = 512
 #: batch the chunk's heads into one dot_general (True) or loop heads
 #: sequentially with per-head score tiles (False, VMEM-lean default).
 S2_HEAD_BATCHED = False
@@ -1419,7 +1429,13 @@ def _fb_s2_pallas(
     D = D3 // 3
     hd = D // num_heads
     hb = select_head_block(num_heads, hd, head_block or S2_HEAD_BLOCK)
-    block_q = block_q or S2_BLOCK_Q
+    # The bq optimum depends on the loop schedule: 128 for the pipelined
+    # path (short interleavable MXU/VPU chains) but 512 for the serial
+    # fallback (213.2 vs 208.7 panos/s at bq=256, tools/exp_r4_s2noproj)
+    # — so the default derives from S2_SW_PIPELINE rather than silently
+    # pairing the fallback with the pipeline's tile size.
+    if block_q is None:
+        block_q = S2_BLOCK_Q if S2_SW_PIPELINE else S2_SERIAL_BLOCK_Q
     block_q = min(block_q, N)
     while N % block_q:
         block_q //= 2

@@ -140,3 +140,71 @@ def test_clip_int8_cosine_gate_on_fixtures():
         np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
     )
     assert c.min() > 0.99, c
+
+
+def test_int8_static_conv_matches_float():
+    """ops.quant.int8_static_conv (round-5 conv-emitter int8) matches the
+    float conv to int8 resolution, incl. stride/padding/per-channel
+    weight scales."""
+    from geoguessr_ai_tpu.ops.quant import int8_static_conv
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.2, (3, 3, 8, 12)), jnp.float32)
+    amax = jnp.max(jnp.abs(x))
+    got = np.asarray(
+        int8_static_conv(x, w, amax, stride=2, padding=1,
+                         out_dtype=jnp.float32)
+    )
+    want = np.asarray(
+        jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    c = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert c > 0.999, c
+
+
+def test_tinyvit_conv_emitter_int8_and_dw_site_gate():
+    """Round-5 campaign paths (VERDICT r4 #1): CONV_INT8_EMITTER keeps
+    the conv-emitter lowering for quantized conv sites, and quant site
+    "dw" stores the dw-conv inputs int8.  Gates: calibrate forward is
+    exact, static forward passes the cosine bar, param tree unchanged."""
+    import dataclasses
+
+    from geoguessr_ai_tpu.models import tinyvit as tv
+    from geoguessr_ai_tpu.models.tinyvit import TinyViT, TinyViTConfig
+    from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+    old = tv.CONV_INT8_EMITTER
+    tv.CONV_INT8_EMITTER = True
+    try:
+        cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+        model = TinyViT(cfg)
+        model_cal = TinyViT(dataclasses.replace(cfg, quant_mode="calibrate"))
+        sites = ("conv", "qkv", "proj", "fc1", "fc2", "dw")
+        model_q = TinyViT(
+            dataclasses.replace(cfg, quant_mode="static", quant_sites=sites)
+        )
+        x = _fixture_batch(cfg.image_size)
+        v = model.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(model.apply(v, x))
+        out_cal, _ = model_cal.apply(v, x, mutable=["act_stats"])
+        np.testing.assert_allclose(np.asarray(out_cal), a, rtol=1e-5)
+        stats = calibrate_act_stats(
+            lambda vv, xx: model_cal.apply(vv, xx, mutable=["act_stats"]),
+            v,
+            [x, x * 0.5],
+        )
+        b = np.asarray(model_q.apply({**v, "act_scales": stats}, x))
+        c = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert c.min() > 0.99, c
+        vq = model_q.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(
+            vq["params"]
+        ) == jax.tree_util.tree_structure(v["params"])
+    finally:
+        tv.CONV_INT8_EMITTER = old
