@@ -1205,7 +1205,39 @@ def _fb_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias,
     )
 
 
-def _fb_bwd(scale, num_heads, eps, res, g):
+#: Round-5 (VERDICT r4 #2): hand-roll the fused-block backwards instead
+#: of jax.vjp over the full forward.  The vjp form re-traces the WHOLE
+#: primal — including pieces whose outputs the cotangent never uses (the
+#: final proj GEMM in _fb_bwd; the entire XLA attention forward in
+#: _fb_s2_bwd, the round-4b profile's 53.4 ms "bwd-attn XLA recompute"
+#: line) — and XLA was observed not to DCE them through the nested
+#: custom_vjp call.  The hand-rolled form recomputes only what the
+#: cotangent rules consume.  Trace-time knob (fresh jit per setting).
+HANDROLLED_FB_BWD = False
+
+
+def _ln_qkv_prefix(x, ln_scale, ln_bias, w_qkv, b_qkv, eps):
+    """LayerNorm + qkv GEMM — the exact _fused_block_xla/_fb_s2_xla
+    prefix trace, split out so the hand-rolled backwards can vjp just
+    the prefix (bit-identical: autodiff is compositional)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ln = (
+        xc * jax.lax.rsqrt(var + eps) * ln_scale.astype(jnp.float32)
+        + ln_bias.astype(jnp.float32)
+    ).astype(x.dtype)
+    return (
+        jnp.einsum(
+            "wnc,ck->wnk", ln, w_qkv.astype(x.dtype),
+            preferred_element_type=x.dtype,
+        )
+        + b_qkv.astype(x.dtype)
+    )
+
+
+def _fb_bwd_vjp(scale, num_heads, eps, res, g):
     # Recompute through window_attention_qkv (NOT the raw XLA attention):
     # on TPU that recomputes the attention middle with the fast forward
     # kernel and differentiates it with the Pallas backward kernel — no
@@ -1220,6 +1252,36 @@ def _fb_bwd(scale, num_heads, eps, res, g):
         *res,
     )
     return vjp(g)
+
+
+def _fb_bwd(scale, num_heads, eps, res, g):
+    if not HANDROLLED_FB_BWD:
+        return _fb_bwd_vjp(scale, num_heads, eps, res, g)
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, bias = res
+    qkv, prefix_vjp = jax.vjp(
+        functools.partial(_ln_qkv_prefix, eps=eps),
+        x, ln_scale, ln_bias, w_qkv, b_qkv,
+    )
+    # The attention output IS a residual here (proj weight grad), so the
+    # middle recompute stays — through the fast forward (Pallas on TPU).
+    ao, attn_vjp = jax.vjp(
+        lambda a, b: window_attention_qkv(a, b, scale, num_heads),
+        qkv, bias,
+    )
+    # Hand-rolled proj cotangents (the primal out = ao @ w_proj + b_proj
+    # is never recomputed): same dtype chain autodiff would produce —
+    # bf16-preferred dots, convert-transpose back to the param dtypes.
+    wp_c = w_proj.astype(x.dtype)
+    dao = jnp.einsum(
+        "wnc,dc->wnd", g, wp_c, preferred_element_type=x.dtype
+    )
+    dw_proj = jnp.einsum(
+        "wnd,wnc->dc", ao, g, preferred_element_type=x.dtype
+    ).astype(w_proj.dtype)
+    db_proj = jnp.sum(g, axis=(0, 1)).astype(b_proj.dtype)
+    dqkv, dbias = attn_vjp(dao)
+    dx, dls, dlb, dw_qkv, db_qkv = prefix_vjp(dqkv)
+    return dx, dls, dlb, dw_qkv, db_qkv, dw_proj, db_proj, dbias
 
 
 fused_block_attention.defvjp(_fb_fwd, _fb_bwd)
@@ -1547,7 +1609,7 @@ def _fb_s2_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, bias, scale,
     )
 
 
-def _fb_s2_bwd(scale, num_heads, eps, res, g):
+def _fb_s2_bwd_vjp(scale, num_heads, eps, res, g):
     # Recompute through window_attention_qkv_xla: the XLA forward trace
     # (measured-best at stage-2 shapes) differentiates the LN/qkv GEMMs
     # as plain XLA while the attention middle gets the Pallas q-tiled
@@ -1559,6 +1621,25 @@ def _fb_s2_bwd(scale, num_heads, eps, res, g):
         *res,
     )
     return vjp(g)
+
+
+def _fb_s2_bwd(scale, num_heads, eps, res, g):
+    if not HANDROLLED_FB_BWD:
+        return _fb_s2_bwd_vjp(scale, num_heads, eps, res, g)
+    # Hand-rolled (round 5): no-proj means the attention output is NOT a
+    # residual of anything — the vjp form's recompute of the XLA
+    # attention forward (scores+softmax+probs@v at N=1024) is pure
+    # waste.  Recompute only the LN+qkv prefix and call the attention
+    # cotangent rule (_qkv_bwd: the Pallas merged backward on TPU)
+    # directly — identical numerics, strictly fewer ops.
+    x, ln_scale, ln_bias, w_qkv, b_qkv, bias = res
+    qkv, prefix_vjp = jax.vjp(
+        functools.partial(_ln_qkv_prefix, eps=eps),
+        x, ln_scale, ln_bias, w_qkv, b_qkv,
+    )
+    dqkv, dbias = _qkv_bwd(scale, num_heads, (qkv, bias), g)
+    dx, dls, dlb, dw_qkv, db_qkv = prefix_vjp(dqkv)
+    return dx, dls, dlb, dw_qkv, db_qkv, dbias
 
 
 fused_block_attention_noproj.defvjp(_fb_s2_fwd, _fb_s2_bwd)

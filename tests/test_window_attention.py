@@ -521,3 +521,57 @@ def test_bwd_merged_matches_two_kernel_interpret():
             np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-4,
             err_msg=name,
         )
+
+
+def test_handrolled_fb_bwds_match_vjp_path():
+    """Round-5 HANDROLLED_FB_BWD: the hand-rolled fused-block backwards
+    (prefix-vjp + direct cotangent rules, no discarded primal recompute)
+    must reproduce the jax.vjp-over-full-forward grads for BOTH the
+    proj'd and the no-proj ops."""
+    from geoguessr_ai_tpu.ops import window_attention as wa
+
+    W, H, N, hd = 2, 2, 128, 32
+    C = H * hd
+    rng = np.random.default_rng(11)
+    common = (
+        jnp.asarray(rng.normal(size=(W, N, C)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32),
+    )
+    proj = (
+        jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+    )
+    bias = jnp.asarray(rng.normal(size=(H, N, N)) * 0.1, jnp.float32)
+    scale = hd**-0.5
+
+    def loss_fb(*a):
+        return jnp.sum(
+            wa.fused_block_attention(*a[:5], *proj, a[5], scale, H) ** 2
+        )
+
+    def loss_s2(*a):
+        return jnp.sum(
+            wa.fused_block_attention_noproj(*a, scale, H) ** 2
+        )
+
+    old = wa.HANDROLLED_FB_BWD
+    try:
+        wa.HANDROLLED_FB_BWD = False
+        ref_fb = jax.grad(loss_fb, argnums=tuple(range(6)))(*common, bias)
+        ref_s2 = jax.grad(loss_s2, argnums=tuple(range(6)))(*common, bias)
+        wa.HANDROLLED_FB_BWD = True
+        got_fb = jax.grad(loss_fb, argnums=tuple(range(6)))(*common, bias)
+        got_s2 = jax.grad(loss_s2, argnums=tuple(range(6)))(*common, bias)
+    finally:
+        wa.HANDROLLED_FB_BWD = old
+    for a, b in zip(got_fb, ref_fb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+    for a, b in zip(got_s2, ref_s2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Serving-under-load measurement (round-5 VERDICT r4 #7).
+
+Drives the real FastAPI app (serving/api.py) with N concurrent clients
+posting the 4-view fixture panorama through HTTP (TestClient), so the
+full claimed path is exercised: upload -> per-request JPEG decode ->
+MicroBatcher coalescing (bucketed padding, singleton warmup) -> jitted
+ServingEngine predict -> decode_predictions.  Records per-concurrency
+p50/p99 request latency, throughput, and the achieved device batch-size
+distribution (instrumented via a predict_batch wrapper).
+
+Runs against whatever jax.devices() resolves to — the real v5e chip
+through the axon relay by default (the relay adds ~30 ms dispatch +
+~66 MB/s upload; noted in the artifact).  Writes data/out/SERVING.json,
+folded into bench.py's record (serving_load_* keys).
+
+Reference serving surface: backend/api.py:39-91 (stub routes, no
+engine) — this measures machinery the reference does not have.
+"""
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np  # noqa: E402
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from fastapi.testclient import TestClient
+
+    from geoguessr_ai_tpu.serving.api import create_app
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture_dir = os.path.join(repo, "tests", "fixtures")
+    files = sorted(
+        f for f in os.listdir(fixture_dir) if f.startswith("heading=")
+    )[:4]
+    blobs = [
+        open(os.path.join(fixture_dir, f), "rb").read() for f in files
+    ]
+    assert len(blobs) == 4, files
+
+    app = create_app()
+    client = TestClient(app)
+
+    # Build engine + batcher and wait for every bucket's warmup compile
+    # BEFORE measuring (cold-bucket jit through the relay is 4-15 min;
+    # production deployments warm up the same way).
+    t0 = time.time()
+    batcher = app.state.get_batcher()
+    import jax
+
+    platform = jax.devices()[0].platform
+    log(stage="warmup_started", platform=platform)
+    batcher.warmup()  # idempotent; blocks until all buckets compiled
+    log(stage="warmup_done", warmup_s=round(time.time() - t0, 1))
+
+    # Instrument achieved device batch sizes.
+    batch_sizes = []
+    orig_predict = batcher.engine.predict_batch
+
+    def recording_predict(views, view_mask=None):
+        batch_sizes.append(int(views.shape[0]))
+        return orig_predict(views, view_mask=view_mask)
+
+    batcher.engine.predict_batch = recording_predict
+
+    def one_request():
+        t = time.perf_counter()
+        r = client.post(
+            "/submit_image/",
+            files=[
+                ("files", (f"h{i}.jpg", b, "image/jpeg"))
+                for i, b in enumerate(blobs)
+            ],
+        )
+        r.raise_for_status()
+        sid = r.json()["submission_id"]
+        p = client.get(f"/prediction/{sid}")
+        p.raise_for_status()
+        out = p.json()
+        assert "lat" in out
+        return (time.perf_counter() - t) * 1e3
+
+    results = {}
+    for conc in (1, 4, 8, 16):
+        n_requests = max(24, conc * 6)
+        # warm pass at this concurrency (fills any cold cache paths)
+        lat = []
+        lock = threading.Lock()
+        batch_sizes.clear()
+        errors = []
+
+        def worker(count):
+            for _ in range(count):
+                try:
+                    ms = one_request()
+                except Exception as e:  # noqa: BLE001
+                    with lock:
+                        errors.append(str(e)[:200])
+                    return
+                with lock:
+                    lat.append(ms)
+
+        per = n_requests // conc
+        threads = [
+            threading.Thread(target=worker, args=(per,))
+            for _ in range(conc)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errors:
+            log(conc=conc, errors=errors[:3])
+            continue
+        lat_np = np.asarray(lat)
+        dist = {
+            str(b): int((np.asarray(batch_sizes) == b).sum())
+            for b in sorted(set(batch_sizes))
+        }
+        results[conc] = {
+            "p50_ms": round(float(np.percentile(lat_np, 50)), 1),
+            "p99_ms": round(float(np.percentile(lat_np, 99)), 1),
+            "mean_ms": round(float(lat_np.mean()), 1),
+            "requests": len(lat),
+            "panos_s": round(len(lat) / wall, 2),
+            "batch_dist": dist,
+        }
+        log(conc=conc, **results[conc])
+
+    if not results:
+        log(done=False, error="no successful concurrency level")
+        sys.exit(1)
+    peak = max(results.values(), key=lambda r: r["panos_s"])
+    top_conc = max(results)
+    artifact = {
+        "serving_load_platform": platform,
+        "serving_load_p50_ms": results[top_conc]["p50_ms"],
+        "serving_load_p99_ms": results[top_conc]["p99_ms"],
+        "serving_load_concurrency": top_conc,
+        "serving_load_panos_s": peak["panos_s"],
+        "serving_load_batch_dist": results[top_conc]["batch_dist"],
+        "serving_load_note": (
+            "N threads through the FastAPI app (TestClient), 4-view "
+            "fixture panorama per request incl. upload + JPEG decode; "
+            "MicroBatcher buckets (1,4,8,16); axon relay adds ~30 ms "
+            "dispatch + upload at ~66 MB/s when platform=axon"
+        ),
+        "serving_load_levels": {str(k): v for k, v in results.items()},
+    }
+    out = os.path.join(repo, "data", "out", "SERVING.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    log(done=True, wrote=out)
+
+
+if __name__ == "__main__":
+    main()
