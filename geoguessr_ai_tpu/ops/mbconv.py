@@ -173,6 +173,11 @@ def _mbconv_pallas(
     # must be a sublane multiple (8) and its minor dim a lane multiple
     # (128) — pad width and channels up; the kernel masks the extra
     # columns and the zero-padded w1 rows null the extra channels.
+    # NOTE (advisor r4): this jnp.pad materializes a full padded copy of
+    # x in HBM (an extra read+write) before the kernel — part of why the
+    # kernel lost its HBM-savings bet (closed-negative, see module
+    # docstring).  If this path is ever revisited, fold the halo into
+    # the in-kernel DMA (clamped slices + in-VMEM masking) instead.
     wp = -(-(W + 2) // 8) * 8
     cp = -(-C // 128) * 128
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - W - 1), (0, cp - C)))
