@@ -149,6 +149,7 @@ def main():
             jax.random.PRNGKey(0),
             jnp.zeros((1, 512, 512, 3), jnp.bfloat16),
         )
+    B = 512
     dvars = jax.device_put(variables, tpu)
     x = jax.device_put(jnp.zeros((B, 512, 512, 3), jnp.bfloat16), tpu)
 
@@ -170,11 +171,15 @@ def main():
     scales_plain = calibrate(False)
     scales_emitter = calibrate(True)
 
+    # Ordered by expected value: the dw-storage lever (bytes-bound op,
+    # probe-independent) before the conv-emitter variants the isolated
+    # probes already measured negative (0.616x/0.846x) — if the round
+    # dies mid-ladder we keep the informative points.
     variants = [
         ("v0_base", False, ("fc1", "fc2")),
+        ("v3_dw_only", False, ("fc1", "fc2", "dw")),
         ("v1_conv_int8", True, ("fc1", "fc2", "conv")),
         ("v2_conv_dw_int8", True, ("fc1", "fc2", "conv", "dw")),
-        ("v3_dw_only", False, ("fc1", "fc2", "dw")),
     ]
     results = {}
     for name, conv_int8, sites in variants:
