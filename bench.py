@@ -23,6 +23,7 @@ def main() -> None:
 
     from geoguessr_ai_tpu import config as C
     from geoguessr_ai_tpu.models import TinyViT, TinyViTConfig
+    from geoguessr_ai_tpu.models.tinyvit import PROD_QUANT_SITES
 
     C.enable_compilation_cache()
 
@@ -81,12 +82,12 @@ def main() -> None:
                 fused_block_stages=(1, 3),
                 pallas_attention_stages=(),
                 quant_mode="static",
-                quant_sites=("fc1", "fc2"),
+                quant_sites=PROD_QUANT_SITES,
             )
         )
         attempts.append(
             (
-                "fused-block+int8-mlp",
+                "fused-block+int8-mlp-dw",
                 512,
                 jax.jit(
                     lambda v, x: model_q.apply({**v, "act_scales": scales}, x)

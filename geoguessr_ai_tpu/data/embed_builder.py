@@ -99,6 +99,7 @@ class Embedder:
         self._act_scales = None
         if self.quant_mode == "static":
             from geoguessr_ai_tpu.models.tinyvit import (
+                PROD_QUANT_SITES,
                 TinyViT,
                 TinyViTConfig,
             )
@@ -113,7 +114,7 @@ class Embedder:
                 _dc.replace(
                     base,
                     quant_mode="static",
-                    quant_sites=("fc1", "fc2"),
+                    quant_sites=PROD_QUANT_SITES,
                     fused_block_stages=(1, 3),
                     pallas_attention_stages=(),
                 )

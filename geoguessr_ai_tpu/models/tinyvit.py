@@ -216,6 +216,17 @@ class TinyViTConfig:
 
 _ALL_QUANT_SITES = ("conv", "qkv", "proj", "fc1", "fc2")
 
+#: The measured-optimal static-int8 site set for the production embed
+#: path (round-5 e2e ladder, tools/exp_r5_int8.py @ B=512 real chip):
+#: fc1/fc2 MLP GEMMs collect XLA's 2x int8 MXU mode, and "dw" stores
+#: the activations feeding the bytes-bound depthwise convs as int8 in
+#: HBM (985.3 -> 1036.7 img/s, +5.2%).  "conv" (the conv-emitter 1x1s)
+#: measured NEGATIVE e2e (798.1 img/s) consistent with the isolated
+#: probes (0.63-0.93x) — XLA's int8 conv emitter loses its bf16
+#: epilogue fusions.  qkv/proj sites crash the terminal compile helper
+#: (round-4b ledger).
+PROD_QUANT_SITES = ("fc1", "fc2", "dw")
+
 
 def _quant_gemm(
     mdl, x, kernel, bias, dtype, quant: str, name: str,

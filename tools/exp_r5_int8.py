@@ -20,10 +20,15 @@ then the e2e embed ladder at B=512 against the 981 img/s wave-2 baseline.
 """
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def log(**kw):
