@@ -354,23 +354,39 @@ def _record_or_read_amax(mdl, x, quant: str, name: str):
     return amax.value
 
 
-def _maybe_quant_dw_input(mdl, x, quant: str, sites: Tuple[str, ...]):
-    """Opt-in site "dw": store the activation feeding a depthwise conv
-    as int8 in HBM (ops.quant.fake_quant_static).  The dw convs are
-    bytes-bound (round-4b profile: 54.6 ms), so halving the producer's
-    write and the dw read is the entire win — compute stays bf16.
+def _maybe_quant_store(
+    mdl, x, quant: str, sites: Tuple[str, ...], site: str, amax_name: str
+):
+    """Opt-in int8 HBM *storage* across a fusion boundary — compute
+    stays bf16 (ops.quant.fake_quant_static); the producer fusion's
+    epilogue writes int8 (half the bytes) and the consumer's operand
+    fusion dequantizes.  Sites (each a bytes-bound boundary the
+    round-4b/5 profiles named):
+
+    * "dw"    — the activation feeding each depthwise conv (LANDED
+                round 5: embed 985.3 -> 1036.7 img/s).
+    * "dwout" — the depthwise conv's GELU output feeding the conv3 1x1
+                (the dw write + conv3 read, the twin boundary of "dw").
+    * "stem"  — patch-embed conv1's GELU output feeding conv2 (3.2 GB
+                @ B=512, the largest single activation in the model).
+
     Calibration always records (one calibration serves any site
     subset, matching _quant_gemm's contract)."""
     if quant == "calibrate":
-        _record_or_read_amax(mdl, x, quant, "dw_in_amax")
+        _record_or_read_amax(mdl, x, quant, amax_name)
         return x
-    if quant == "static" and "dw" in sites:
+    if quant == "static" and site in sites:
         from geoguessr_ai_tpu.ops.quant import fake_quant_static
 
         return fake_quant_static(
-            x, _record_or_read_amax(mdl, x, quant, "dw_in_amax")
+            x, _record_or_read_amax(mdl, x, quant, amax_name)
         )
     return x
+
+
+def _maybe_quant_dw_input(mdl, x, quant: str, sites: Tuple[str, ...]):
+    """Site "dw" storage (see _maybe_quant_store)."""
+    return _maybe_quant_store(mdl, x, quant, sites, "dw", "dw_in_amax")
 
 
 class _DWConvParams(nn.Module):
@@ -656,6 +672,9 @@ class MBConv(nn.Module):
             hidden, 3, groups=hidden, dtype=self.dtype, name="conv2"
         )(x, train)
         x = _gelu(x, self.exact_gelu)
+        x = _maybe_quant_store(
+            self, x, self.quant, self.quant_sites, "dwout", "dwout_amax"
+        )
         x = ConvBN(
             self.features,
             1,
@@ -689,6 +708,9 @@ class PatchEmbed(nn.Module):
             name="conv1",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
+        x = _maybe_quant_store(
+            self, x, self.quant, self.quant_sites, "stem", "stem_amax"
+        )
         x = ConvBN(
             self.features, 3, stride=2, dtype=self.dtype,
             quant=self.quant, quant_sites=self.quant_sites,
@@ -726,6 +748,9 @@ class PatchMerging(nn.Module):
             name="conv2",
         )(x, train)
         x = _gelu(x, self.exact_gelu)
+        x = _maybe_quant_store(
+            self, x, self.quant, self.quant_sites, "dwout", "dwout_amax"
+        )
         x = ConvBN(
             self.features, 1, dtype=self.dtype, quant=self.quant, quant_sites=self.quant_sites,
             pointwise_lowering=PM_CONV3_LOWERING,

@@ -183,7 +183,7 @@ def test_tinyvit_conv_emitter_int8_and_dw_site_gate():
         cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
         model = TinyViT(cfg)
         model_cal = TinyViT(dataclasses.replace(cfg, quant_mode="calibrate"))
-        sites = ("conv", "qkv", "proj", "fc1", "fc2", "dw")
+        sites = ("conv", "qkv", "proj", "fc1", "fc2", "dw", "dwout", "stem")
         model_q = TinyViT(
             dataclasses.replace(cfg, quant_mode="static", quant_sites=sites)
         )
