@@ -151,6 +151,20 @@ class TinyViTConfig:
     #: materialized transposes (~19 ms of copy fusions at B=512,
     #: round-4b profile) into the BlockSpec index map.
     fused_block_4d: bool = False
+    #: Stages whose attention blocks run under ``lax.scan`` over the
+    #: block axis (params/batch_stats stacked along axis 0) instead of
+    #: the unrolled Python loop — a PROGRAM-SIZE lever for training,
+    #: where the round-4b profile's 74 ms elementwise/convert tail is
+    #: spread over a 4,884-fusion program dominated by the 6 stage-2
+    #: block repetitions (VERDICT r4 #2's untried structural item).
+    #: Restrictions (asserted): only non-conv stages, drop_path_rate
+    #: == 0 (per-block rates would break block homogeneity), no remat,
+    #: and the stage must not be int8-quantized (per-site act_scales
+    #: don't stack).  Changes the param-tree layout for listed stages
+    #: (stage{N}_scan/block/... stacked) — checkpoints and the torch
+    #: converter only speak the unrolled layout, so this is an opt-in
+    #: measurement knob, not the production default.
+    scan_stages: Tuple[int, ...] = ()
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -217,15 +231,18 @@ class TinyViTConfig:
 _ALL_QUANT_SITES = ("conv", "qkv", "proj", "fc1", "fc2")
 
 #: The measured-optimal static-int8 site set for the production embed
-#: path (round-5 e2e ladder, tools/exp_r5_int8.py @ B=512 real chip):
-#: fc1/fc2 MLP GEMMs collect XLA's 2x int8 MXU mode, and "dw" stores
-#: the activations feeding the bytes-bound depthwise convs as int8 in
-#: HBM (985.3 -> 1036.7 img/s, +5.2%).  "conv" (the conv-emitter 1x1s)
-#: measured NEGATIVE e2e (798.1 img/s) consistent with the isolated
-#: probes (0.63-0.93x) — XLA's int8 conv emitter loses its bf16
-#: epilogue fusions.  qkv/proj sites crash the terminal compile helper
-#: (round-4b ledger).
-PROD_QUANT_SITES = ("fc1", "fc2", "dw")
+#: path (round-5 e2e ladders, tools/exp_r5_int8.py + exp_r5_int8b.py @
+#: B=512 real chip): fc1/fc2 MLP GEMMs collect XLA's 2x int8 MXU mode;
+#: "dw" stores the activations feeding the bytes-bound depthwise convs
+#: int8 in HBM (985.3 -> 1036.7 img/s, +5.2%); "stem" stores
+#: patch-embed conv1's 3.2 GB GELU output int8 (-> 1047.5, +1.1%).
+#: CLOSED NEGATIVE: "conv" (int8 through the conv emitters, 798.1 —
+#: the int8 emitter loses the bf16 conv's BN/GELU epilogue fusions;
+#: probes 0.63-0.93x) and "dwout" (dw output -> conv3, 1019.9 — the dw
+#: epilogue already fuses into conv3's operand read, so the quantize
+#: only adds VPU work).  qkv/proj sites crash the terminal compile
+#: helper (round-4b ledger).
+PROD_QUANT_SITES = ("fc1", "fc2", "dw", "stem")
 
 
 def _quant_gemm(
@@ -1203,6 +1220,42 @@ class TinyViTBlock(nn.Module):
         return x + DropPath(self.drop_path)(mlp_out, deterministic=not train)
 
 
+class _ScanBlockBody(nn.Module):
+    """One TinyViTBlock iteration under nn.scan (config.scan_stages):
+    wraps the block with the (carry, ys) signature scan requires.
+    drop_path is fixed 0.0 — scan requires block homogeneity (asserted
+    at the call site)."""
+
+    dim: int
+    num_heads: int
+    window: int
+    mlp_ratio: float
+    dtype: Any = jnp.bfloat16
+    exact_gelu: bool = False
+    use_pallas_attention: bool = False
+    use_fused_block: bool = False
+    use_fused_block_noproj: bool = False
+    fused_block_4d: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = TinyViTBlock(
+            self.dim,
+            self.num_heads,
+            self.window,
+            self.mlp_ratio,
+            0.0,
+            dtype=self.dtype,
+            exact_gelu=self.exact_gelu,
+            use_pallas_attention=self.use_pallas_attention,
+            use_fused_block=self.use_fused_block,
+            use_fused_block_noproj=self.use_fused_block_noproj,
+            fused_block_4d=self.fused_block_4d,
+            name="block",
+        )(x, train)
+        return x, ()
+
+
 class TinyViT(nn.Module):
     """TinyViT feature extractor.  __call__ returns (B, embed_dim) pooled
     embeddings (the reference consumes timm's num_classes=0 pooled output)."""
@@ -1280,6 +1333,38 @@ class TinyViT(nn.Module):
                         name=f"stage0_block{d}",
                     )(x, train)
                     block_idx += 1
+            elif stage in cfg.scan_stages and cfg.depths[stage] > 1:
+                assert cfg.drop_path_rate == 0.0, (
+                    "scan_stages needs homogeneous blocks "
+                    "(drop_path_rate == 0)"
+                )
+                assert not cfg.remat, "scan_stages incompatible with remat"
+                assert stage_quant(stage) == "none", (
+                    "scan_stages: per-block act_scales don't stack"
+                )
+                scan_cls = nn.scan(
+                    _ScanBlockBody,
+                    variable_axes={"params": 0, "batch_stats": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast,),
+                    length=cfg.depths[stage],
+                )
+                x, _ = scan_cls(
+                    cfg.embed_dims[stage],
+                    cfg.num_heads[stage],
+                    cfg.window_sizes[stage],
+                    cfg.mlp_ratio,
+                    dtype=dtype,
+                    exact_gelu=cfg.exact_gelu,
+                    use_pallas_attention=stage in pallas_stages,
+                    use_fused_block=stage in cfg.fused_block_stages,
+                    use_fused_block_noproj=(
+                        stage in cfg.fused_block_noproj_stages
+                    ),
+                    fused_block_4d=cfg.fused_block_4d,
+                    name=f"stage{stage}_scan",
+                )(x, train)
+                block_idx += cfg.depths[stage]
             else:
                 for d in range(cfg.depths[stage]):
                     x = block_cls(
