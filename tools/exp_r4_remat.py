@@ -28,7 +28,8 @@ def log(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def _train_case(B, accum=1, remat_stages=None, remat_policy="full"):
+def _train_case(B, accum=1, remat_stages=None, remat_policy="full",
+                scan_stages=None):
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +46,8 @@ def _train_case(B, accum=1, remat_stages=None, remat_policy="full"):
     centroids = jax.device_put(jnp.asarray(table.centroids), tpu)
     rng = np.random.default_rng(0)
     tv = TinyViTConfig.tiny_vit_21m_512()
+    if scan_stages is not None:
+        tv = dataclasses.replace(tv, scan_stages=tuple(scan_stages))
     if remat_stages is not None:
         tv = dataclasses.replace(
             tv,
@@ -122,6 +125,10 @@ PROBES = {
     ),
     # round-4b wave 2: accum rate at the new 391.2 ms micro step
     "b64_accum4": lambda: _train_case(64, accum=4),
+    # round-5: lax.scan over a stage's blocks (program-size lever for
+    # the 4,884-fusion backward tail; VERDICT r4 #2)
+    "b16_scan2": lambda: _train_case(16, scan_stages=(2,)),
+    "b16_scan123": lambda: _train_case(16, scan_stages=(1, 2, 3)),
 }
 
 
