@@ -158,13 +158,23 @@ class TinyViTConfig:
     #: spread over a 4,884-fusion program dominated by the 6 stage-2
     #: block repetitions (VERDICT r4 #2's untried structural item).
     #: Restrictions (asserted): only non-conv stages, drop_path_rate
-    #: == 0 (per-block rates would break block homogeneity), no remat,
+    #: == 0 (per-block rates would break block homogeneity), remat_stages
+    #: must not list a scanned stage (use scan_remat for those),
     #: and the stage must not be int8-quantized (per-site act_scales
     #: don't stack).  Changes the param-tree layout for listed stages
     #: (stage{N}_scan/block/... stacked) — checkpoints and the torch
     #: converter only speak the unrolled layout, so this is an opt-in
     #: measurement knob, not the production default.
+    #: MEASURED (v5e, round 5): scan WITHOUT remat OOMs at compile even
+    #: at B=16 (scan2 by 250 MB, scan123 by 6.2 GB) — lax.scan forfeits
+    #: the unrolled schedule's cross-block buffer reuse, so every
+    #: scanned block's residuals live simultaneously as stacked temps.
     scan_stages: Tuple[int, ...] = ()
+    #: jax.checkpoint each scanned block's body (the classic
+    #: scan-of-remat pattern): bounds scan's live residuals to one
+    #: block's carry at the cost of recomputing the block in the
+    #: backward — the memory fix for the scan OOM above.
+    scan_remat: bool = False
 
     @staticmethod
     def tiny_vit_21m_512(**overrides) -> "TinyViTConfig":
@@ -1236,10 +1246,16 @@ class _ScanBlockBody(nn.Module):
     use_fused_block: bool = False
     use_fused_block_noproj: bool = False
     fused_block_4d: bool = False
+    remat_block: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = TinyViTBlock(
+        block_cls = (
+            nn.remat(TinyViTBlock, static_argnums=(2,))
+            if self.remat_block
+            else TinyViTBlock
+        )
+        x = block_cls(
             self.dim,
             self.num_heads,
             self.window,
@@ -1338,7 +1354,17 @@ class TinyViT(nn.Module):
                     "scan_stages needs homogeneous blocks "
                     "(drop_path_rate == 0)"
                 )
-                assert not cfg.remat, "scan_stages incompatible with remat"
+                assert not (
+                    cfg.remat
+                    and (
+                        cfg.remat_stages is None
+                        or stage in cfg.remat_stages
+                    )
+                ), (
+                    "a scanned stage cannot also be remat'd via "
+                    "remat_stages — use scan_remat (per-block "
+                    "checkpoint inside the scan body) instead"
+                )
                 assert stage_quant(stage) == "none", (
                     "scan_stages: per-block act_scales don't stack"
                 )
@@ -1362,6 +1388,7 @@ class TinyViT(nn.Module):
                         stage in cfg.fused_block_noproj_stages
                     ),
                     fused_block_4d=cfg.fused_block_4d,
+                    remat_block=cfg.scan_remat,
                     name=f"stage{stage}_scan",
                 )(x, train)
                 block_idx += cfg.depths[stage]

@@ -94,3 +94,50 @@ def test_scan_stage_matches_unrolled():
         mut_u["batch_stats"],
         stats_s_unstacked,
     )
+
+
+def test_scan_remat_grads_match_unrolled():
+    """scan_remat (jax.checkpoint inside the scan body) must not change
+    numerics: grads of a scalar loss match the unrolled program's grads
+    (mapped through the stacked layout), with and without scan_remat."""
+    cfg_u = TinyViTConfig.test_tiny(dtype=jnp.float32)
+    depth = cfg_u.depths[SCAN_STAGE]
+
+    model_u = TinyViT(cfg_u)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(
+            0, 1, (2, cfg_u.image_size, cfg_u.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    v_u = model_u.init(jax.random.PRNGKey(0), x)
+
+    def loss_u(params):
+        out = model_u.apply({**v_u, "params": params}, x)
+        return jnp.sum(out**2)
+
+    g_u = jax.grad(loss_u)(v_u["params"])
+    g_u_stacked = _stack_stage(g_u, depth, SCAN_STAGE)
+
+    for scan_remat in (False, True):
+        cfg_s = dataclasses.replace(
+            cfg_u, scan_stages=(SCAN_STAGE,), scan_remat=scan_remat
+        )
+        model_s = TinyViT(cfg_s)
+        v_s = {
+            col: _stack_stage(tree, depth, SCAN_STAGE)
+            for col, tree in v_u.items()
+        }
+
+        def loss_s(params):
+            out = model_s.apply({**v_s, "params": params}, x)
+            return jnp.sum(out**2)
+
+        g_s = jax.grad(loss_s)(v_s["params"])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+            ),
+            g_u_stacked,
+            g_s,
+        )

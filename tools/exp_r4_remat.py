@@ -29,7 +29,7 @@ def log(**kw):
 
 
 def _train_case(B, accum=1, remat_stages=None, remat_policy="full",
-                scan_stages=None):
+                scan_stages=None, scan_remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +47,9 @@ def _train_case(B, accum=1, remat_stages=None, remat_policy="full",
     rng = np.random.default_rng(0)
     tv = TinyViTConfig.tiny_vit_21m_512()
     if scan_stages is not None:
-        tv = dataclasses.replace(tv, scan_stages=tuple(scan_stages))
+        tv = dataclasses.replace(
+            tv, scan_stages=tuple(scan_stages), scan_remat=scan_remat
+        )
     if remat_stages is not None:
         tv = dataclasses.replace(
             tv,
@@ -129,6 +131,25 @@ PROBES = {
     # the 4,884-fusion backward tail; VERDICT r4 #2)
     "b16_scan2": lambda: _train_case(16, scan_stages=(2,)),
     "b16_scan123": lambda: _train_case(16, scan_stages=(1, 2, 3)),
+    # both B=16 scan probes OOM at compile (scan2 by 250 MB, scan123 by
+    # 6.2 GB: scan forfeits the unrolled schedule's cross-block buffer
+    # reuse).  B=12 fits under scan2 — the clean program-size A/B:
+    "b12_base": lambda: _train_case(12),
+    "b12_scan2": lambda: _train_case(12, scan_stages=(2,)),
+    # scan-of-remat: checkpoint each scanned block (config.scan_remat)
+    # so the stacked residuals shrink to one block's carry — the memory
+    # fix for the OOMs above.  b24/b32_scan123_sremat probe whether the
+    # combo unlocks B>16 without grad accumulation (the r4 matrix's
+    # unrolled-remat B>=24 OOM verdict does not cover this layout).
+    "b16_scan2_sremat": lambda: _train_case(
+        16, scan_stages=(2,), scan_remat=True
+    ),
+    "b24_scan123_sremat": lambda: _train_case(
+        24, scan_stages=(1, 2, 3), scan_remat=True
+    ),
+    "b32_scan123_sremat": lambda: _train_case(
+        32, scan_stages=(1, 2, 3), scan_remat=True
+    ),
 }
 
 
