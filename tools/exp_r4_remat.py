@@ -150,6 +150,13 @@ PROBES = {
     "b32_scan123_sremat": lambda: _train_case(
         32, scan_stages=(1, 2, 3), scan_remat=True
     ),
+    # B=32 ties the unrolled B=16 rate (41.8 vs 41.9) — does the rate
+    # hold (or improve) at B=64, fully replacing the accum path?
+    # MEASURED: OOM — B=32 is the scan-of-remat native ceiling; B>32
+    # stays on scanned accumulation.
+    "b64_scan123_sremat": lambda: _train_case(
+        64, scan_stages=(1, 2, 3), scan_remat=True
+    ),
 }
 
 

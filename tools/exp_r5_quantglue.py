@@ -175,6 +175,39 @@ def probe_conv_prod_nodq():
     log(probe="conv_prod_nodq", ms=round(ms, 2))
 
 
+def probe_einsum_prod_nodq():
+    """einsum producer + optimization_barrier forcing the s8 boundary
+    (the untested cell after einsum_prod showed XLA elides int8 when it
+    owns both sides): does the DOT fusion root at s8, or does a
+    standalone clamp pass appear here too?  If the dot roots s8, an
+    einsum-form conv1 with forced int8 materialization could replace
+    the conv-emitter + clamp-pass pair at the dw-feeding sites (the
+    layout copy into the dw emitter would move int8 bytes)."""
+    jax, jnp, np, (x, w1, wdw, scale, shift, amax) = _setup()
+
+    def f(x, w1, wdw, scale, shift, amax):
+        y = jnp.einsum(
+            "...c,cd->...d", x, w1[0, 0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.bfloat16,
+        )
+        y = y * scale.astype(y.dtype) + shift.astype(y.dtype)
+        y = _gelu(y)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(
+            jnp.round(y.astype(jnp.float32) / s), -127, 127
+        ).astype(jnp.int8)
+        q = jax.lax.optimization_barrier(q)
+        y = (q.astype(jnp.float32) * s).astype(jnp.bfloat16)
+        return jnp.mean(_dw(jnp, y, wdw).astype(jnp.float32))
+
+    jf = jax.jit(f)
+    args = (x, w1, wdw, scale, shift, amax)
+    txt = jf.lower(*args).compile().as_text()
+    _analyze(txt, "einsum_prod_nodq")
+    ms = _time(jf, args, lambda o: np.asarray(o))
+    log(probe="einsum_prod_nodq", ms=round(ms, 2))
+
+
 def probe_einsum_prod():
     """einsum-GEMM producer (the _PointwiseConv path): does the dot
     fusion root at s8?"""
@@ -229,6 +262,7 @@ PROBES = {
     "conv_prod_noround": lambda: probe_conv_prod("noround"),
     "conv_prod_nodq": probe_conv_prod_nodq,
     "einsum_prod": probe_einsum_prod,
+    "einsum_prod_nodq": probe_einsum_prod_nodq,
 }
 
 
