@@ -168,10 +168,10 @@ def main():
     inventory = json.loads(proc.stdout.splitlines()[-1])
 
     pb = _param_bytes()
-    # Measured single-chip step at micro=16 panos/chip (round-4b:
-    # Pallas backwards + merged bwd + pipelined stage-2 primal +
-    # dw-feeding pointwise lowering — docs/performance.md).
-    step_ms = 391.2
+    # Measured single-chip step at micro=16 panos/chip (round-5
+    # re-measure of the wave-2 program, TRAIN.json: 41.9 panos/s —
+    # docs/performance.md).
+    step_ms = 381.9
     panos_per_chip_step = 16
     rows = []
     for n in (2, 4, 8, 16):
@@ -194,7 +194,7 @@ def main():
     out = {
         "model": "SuperGuessr + TinyViT-21M-512, 12647 cells",
         "measured_single_chip_step_ms": step_ms,
-        "measured_single_chip_panos_s": 40.9,
+        "measured_single_chip_panos_s": 41.9,
         **pb,
         "train_collectives_dp8_hlo": inventory,
         "embed_collectives": "none (verified: embed HLO has no cross-replica ops; scales linearly)",
