@@ -182,6 +182,13 @@ class BackboneConfig:
     #: super_guessr.py:152-153).
     freeze_all_but_last_stage: bool = True
     dtype: str = "bfloat16"  # compute dtype on TPU
+    #: QAT int8-activation-storage in the TRAIN step (tinyvit only):
+    #: the differentiable storage sites (models.tinyvit
+    #: TRAIN_QUANT_SITES, STE-backed) run quant_mode="static" with
+    #: scales calibrated at train() startup.  Off by default — the
+    #: reference trains full-precision; opt in for the HBM-bytes win
+    #: measured in tools/exp_r5_trainquant.py.
+    qat_storage: bool = False
 
     @staticmethod
     def tinyvit() -> "BackboneConfig":

@@ -252,7 +252,17 @@ _ALL_QUANT_SITES = ("conv", "qkv", "proj", "fc1", "fc2")
 #: epilogue already fuses into conv3's operand read, so the quantize
 #: only adds VPU work).  qkv/proj sites crash the terminal compile
 #: helper (round-4b ledger).
-PROD_QUANT_SITES = ("fc1", "fc2", "dw", "stem")
+#: "localdw" (round-5 second ladder, tools/exp_r5_embed2.py) stores the
+#: attention-residual tensor feeding each TinyViTBlock local_conv int8:
+#: 1046.1 -> 1054.3 img/s (+0.8%, cosine 0.99998) — the same
+#: bytes-halving mechanism at the site the fusion map named
+#: (multiply_reduce_fusion reads it at 8.64 ms/stage-1 block).
+PROD_QUANT_SITES = ("fc1", "fc2", "dw", "stem", "localdw")
+#: Differentiable subset for TRAIN steps (QAT-storage): the int8
+#: STORAGE boundaries ride an STE (ops.quant.fake_quant_static_ste) so
+#: gradients pass through; the fc1/fc2 COMPUTE-int8 GEMMs are excluded
+#: (int8_static_matmul has no VJP — inference-only).
+TRAIN_QUANT_SITES = ("dw", "stem", "localdw")
 
 
 def _quant_gemm(
@@ -396,6 +406,10 @@ def _maybe_quant_store(
                 (the dw write + conv3 read, the twin boundary of "dw").
     * "stem"  — patch-embed conv1's GELU output feeding conv2 (3.2 GB
                 @ B=512, the largest single activation in the model).
+    * "localdw" — the attention-residual tensor feeding each
+                TinyViTBlock local_conv (stages 1-3; the round-5
+                fusion map shows the stage-1 local_conv+LN-stat fusion
+                reading this tensor unquantized at 8.64 ms/block).
 
     Calibration always records (one calibration serves any site
     subset, matching _quant_gemm's contract)."""
@@ -403,9 +417,12 @@ def _maybe_quant_store(
         _record_or_read_amax(mdl, x, quant, amax_name)
         return x
     if quant == "static" and site in sites:
-        from geoguessr_ai_tpu.ops.quant import fake_quant_static
+        from geoguessr_ai_tpu.ops.quant import fake_quant_static_ste
 
-        return fake_quant_static(
+        # STE variant: primal identical to fake_quant_static (embed
+        # programs unchanged); differentiable so train steps can use
+        # the storage sites too (round-5 train QAT-storage lever).
+        return fake_quant_static_ste(
             x, _record_or_read_amax(mdl, x, quant, amax_name)
         )
     return x
@@ -1091,6 +1108,32 @@ class WindowAttention(nn.Module):
         )
 
 
+#: Hand-rolled MLP LayerNorm (trace-time knob, see the knob NOTE above):
+#: statistics reduce in f32 but the normalize emits straight to compute
+#: dtype without an x.astype(f32) value tensor.  The round-5 fusion map
+#: shows nn.LayerNorm(dtype=f32) materializing a full f32 LAYOUT copy of
+#: the stage-1 MLP input (copy.211/220, 4.49 ms each @ B=512) because
+#: XLA places the GEMM relayout on the f32 tensor; hand-rolling lets the
+#: relayout ride the half-width bf16/s8 side.  Numerics: stats identical
+#: (f32 reductions); the normalize multiply rounds once in bf16 — gated
+#: by the e2e cosine check in the experiment ladder.
+MLP_LN_HANDROLLED = False
+
+
+class _LNParams(nn.Module):
+    """scale/bias with nn.LayerNorm's param tree (so both LN lowerings
+    share checkpoints)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
 class Mlp(nn.Module):
     """Pre-norm MLP (TinyViT keeps the LayerNorm inside the MLP block)."""
 
@@ -1103,9 +1146,21 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
-            x.astype(jnp.float32)
-        ).astype(self.dtype)
+        if MLP_LN_HANDROLLED:
+            scale, bias = _LNParams(x.shape[-1], name="norm")()
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - (
+                jnp.square(mean)
+            )
+            inv = jax.lax.rsqrt(var + 1e-5)
+            x = (
+                (xf - mean) * (inv * scale) + bias
+            ).astype(self.dtype)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
+                x.astype(jnp.float32)
+            ).astype(self.dtype)
         fc1_k, fc1_b = _DenseParams(self.hidden, name="fc1")(x.shape[-1])
         fc2_k, fc2_b = _DenseParams(self.out, name="fc2")(self.hidden)
         x = _quant_gemm(
@@ -1215,6 +1270,10 @@ class TinyViTBlock(nn.Module):
             attn_out = attn_out[:, :H, :W, :]
         x = res + DropPath(self.drop_path)(attn_out, deterministic=not train)
 
+        x = _maybe_quant_store(
+            self, x, self.quant, self.quant_sites, "localdw",
+            "localdw_in_amax",
+        )
         x = ConvBN(
             self.dim, 3, groups=self.dim, dtype=self.dtype, name="local_conv"
         )(x, train)

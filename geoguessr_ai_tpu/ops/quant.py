@@ -193,6 +193,32 @@ def fake_quant_static(x: jax.Array, amax: jax.Array) -> jax.Array:
     return (xq.astype(jnp.float32) * scale).astype(x.dtype)
 
 
+@jax.custom_vjp
+def fake_quant_static_ste(x: jax.Array, amax: jax.Array) -> jax.Array:
+    """``fake_quant_static`` with a straight-through estimator.
+
+    The primal is bit-identical to ``fake_quant_static`` (same jaxpr, so
+    inference programs using either compile to the same HLO); the VJP
+    passes the cotangent through unchanged (standard QAT STE — the
+    round() has zero derivative almost everywhere, which would kill the
+    gradient at every int8-storage site).  Pass-through (no clip mask):
+    the storage sites sit behind calibrated amax, so out-of-range
+    activations are rare and masking would cost a saved residual.
+    """
+    return fake_quant_static(x, amax)
+
+
+def _fqs_ste_fwd(x, amax):
+    return fake_quant_static(x, amax), amax
+
+
+def _fqs_ste_bwd(amax, g):
+    return g, jnp.zeros_like(amax)
+
+
+fake_quant_static_ste.defvjp(_fqs_ste_fwd, _fqs_ste_bwd)
+
+
 def calibrate_act_stats(apply_calibrate, variables, batches) -> dict:
     """Accumulate per-site activation abs-max over calibration batches.
 

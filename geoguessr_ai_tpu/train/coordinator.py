@@ -96,6 +96,12 @@ def build_backbone(cfg: BackboneConfig):
             if isinstance(cfg.dtype, str)
             else cfg.dtype
         )
+        if getattr(cfg, "qat_storage", False):
+            from geoguessr_ai_tpu.models.tinyvit import TRAIN_QUANT_SITES
+
+            tv = dataclasses.replace(
+                tv, quant_mode="static", quant_sites=TRAIN_QUANT_SITES
+            )
         return (
             TinyViT(tv),
             C.TINYVIT_NORM_MEAN,
@@ -186,6 +192,45 @@ def train(
             )
         }
     variables = model.init(rng, **sample_kwargs)
+    if (
+        not embedding_mode
+        and cfg.model.backbone.qat_storage
+        and isinstance(model.backbone, TinyViT)
+        and model.backbone.config.quant_mode == "static"
+    ):
+        # Calibrate the QAT-storage amaxes once at startup (CPU, f32,
+        # synthetic normal batch — the STE clips gracefully if real
+        # activations run slightly hotter; recalibrate by re-running
+        # train() if the data distribution shifts materially).  The
+        # calibration model is the TRAIN model with quant_mode flipped
+        # to "calibrate" (derived from the built backbone, so it tracks
+        # whatever preset build_backbone chose).
+        from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+        cal_tv = dataclasses.replace(
+            model.backbone.config,
+            quant_mode="calibrate",
+            dtype=jnp.float32,
+        )
+        cal_model = model.clone(backbone=TinyViT(cal_tv))
+        cal_shape = (
+            (1, C.NUM_PANORAMA_VIEWS, image_size, image_size, 3)
+            if cfg.model.panorama
+            else (1, image_size, image_size, 3)
+        )
+        cal_x = jnp.asarray(
+            np.random.default_rng(cfg.seed).normal(0, 1, cal_shape),
+            jnp.float32,
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            stats = calibrate_act_stats(
+                lambda vv, xx: cal_model.apply(
+                    vv, pixel_values=xx, mutable=["act_stats"]
+                ),
+                {k: v for k, v in variables.items() if k != "act_scales"},
+                [cal_x],
+            )
+        variables = {**variables, "act_scales": stats}
     variables = put_variables(variables, mesh, cfg.mesh)
 
     steps_per_epoch = max(1, len(pano_train) // cfg.batch_size)

@@ -100,6 +100,11 @@ def backbone_freeze_mask(
 class TrainState(train_state.TrainState):
     batch_stats: Any = None
     dropout_rng: Optional[jax.Array] = None
+    # Frozen (non-trained, non-mutated) extra variable collections merged
+    # into every apply — e.g. "act_scales" when the backbone runs the
+    # QAT-storage sites (TinyViTConfig quant_mode="static",
+    # quant_sites=TRAIN_QUANT_SITES; round-5 train int8-storage lever).
+    extra_variables: Any = None
     # Dynamic sample counter for metrics (step already tracked by parent).
     epoch: jax.Array = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
@@ -180,10 +185,16 @@ def create_train_state(
     trainable_mask=None,
 ) -> TrainState:
     tx, _ = make_optimizer(optimizer_cfg, steps_per_epoch, trainable_mask)
+    extra = {
+        k: v
+        for k, v in variables.items()
+        if k not in ("params", "batch_stats")
+    }
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         dropout_rng=rng if rng is not None else jax.random.PRNGKey(0),
+        extra_variables=extra or None,
         tx=tx,
     )

@@ -87,6 +87,8 @@ def train_step(
 
     def loss_fn(params, batch_stats, mb, mb_rng):
         variables = {"params": params}
+        if state.extra_variables:
+            variables.update(state.extra_variables)
         if batch_stats:
             variables["batch_stats"] = batch_stats
             (emb, logits), new_model_state = state.apply_fn(
@@ -183,6 +185,8 @@ def eval_step(
 ) -> Dict[str, jax.Array]:
     """Validation forward (no BN update, no dropout)."""
     variables = {"params": state.params}
+    if state.extra_variables:
+        variables.update(state.extra_variables)
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     emb, logits = state.apply_fn(

@@ -369,3 +369,65 @@ def test_grad_accum_under_mesh_shardings():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5
         )
+
+
+def test_qat_storage_train_step_under_mesh_shardings():
+    """dp-sharded train step with the QAT-storage backbone: calibrated
+    act_scales ride TrainState.extra_variables through put_variables
+    (replicated scalars) and the sharded step runs finite."""
+    import dataclasses
+
+    from geoguessr_ai_tpu.models.tinyvit import TRAIN_QUANT_SITES
+    from geoguessr_ai_tpu.ops.quant import calibrate_act_stats
+
+    mesh_cfg = MeshConfig(data_parallel=8, model_parallel=1)
+    cfg = TinyViTConfig.test_tiny(dtype=jnp.float32)
+
+    def make(quant_mode, sites):
+        return SuperGuessr(
+            num_cells=NUM_CELLS,
+            backbone=TinyViT(
+                dataclasses.replace(
+                    cfg, quant_mode=quant_mode, quant_sites=sites
+                )
+            ),
+            panorama=True,
+            embed_dim=cfg.embed_dim,
+            dtype=jnp.float32,
+        )
+
+    model = make("static", TRAIN_QUANT_SITES)
+    x = jnp.zeros((2, 4, cfg.image_size, cfg.image_size, 3))
+    variables = model.init(jax.random.PRNGKey(0), pixel_values=x)
+    cal = make("calibrate", TRAIN_QUANT_SITES)
+    stats = calibrate_act_stats(
+        lambda vv, xx: cal.apply(vv, pixel_values=xx, mutable=["act_stats"]),
+        {k: v for k, v in variables.items() if k != "act_scales"},
+        [jnp.asarray(
+            np.random.default_rng(0).normal(
+                size=(2, 4, cfg.image_size, cfg.image_size, 3)
+            ),
+            jnp.float32,
+        )],
+    )
+    variables = {**variables, "act_scales": stats}
+    mesh = create_mesh(mesh_cfg)
+    variables = put_variables(variables, mesh, mesh_cfg)
+    state = create_train_state(
+        model, variables, OptimizerConfig(learning_rate=1e-3), 10
+    )
+    assert "act_scales" in state.extra_variables
+    centroids = jnp.asarray(
+        np.random.default_rng(0).uniform(-60, 60, (NUM_CELLS, 2)),
+        jnp.float32,
+    )
+    jit_train, jit_eval = make_sharded_steps(mesh, mesh_cfg)
+    batch = _batch(cfg, mesh, mesh_cfg)
+    losses = []
+    for _ in range(3):
+        state, metrics = jit_train(state, batch, centroids)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    ev = jit_eval(state, batch, centroids)
+    assert np.isfinite(float(ev["loss"]))

@@ -103,7 +103,17 @@ def _tiny_train(tiny_cfg, dataset, centroid_table, ckpt_dir, max_steps):
     orig = coord.build_backbone
 
     def tiny_builder(cfg):
+        import dataclasses as dc
+
         tv = TinyViTConfig.test_tiny(dtype=jnp.float32)
+        if getattr(cfg, "qat_storage", False):
+            # mirror the real build_backbone: QAT-storage flips the
+            # backbone to static quant at the differentiable sites
+            from geoguessr_ai_tpu.models.tinyvit import TRAIN_QUANT_SITES
+
+            tv = dc.replace(
+                tv, quant_mode="static", quant_sites=TRAIN_QUANT_SITES
+            )
         return TinyViT(tv), TINYVIT_NORM_MEAN, TINYVIT_NORM_STD, tv.image_size
 
     coord.build_backbone = tiny_builder
@@ -311,3 +321,27 @@ def test_resume_matches_uninterrupted_training(
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), atol=1e-6, rtol=1e-5
         )
+
+
+def test_train_qat_storage_calibrates_and_trains(
+    tiny_cfg, dataset, centroid_table, tmp_path
+):
+    """train() with BackboneConfig(qat_storage=True): the coordinator
+    calibrates the storage-site amaxes at startup (from the BUILT
+    backbone's own config, not a hardcoded preset) and the QAT train
+    loop runs finite end-to-end (round-5 train int8-storage lever)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(
+        tiny_cfg,
+        num_epochs=1,
+        model=dc.replace(
+            tiny_cfg.model,
+            backbone=dc.replace(tiny_cfg.model.backbone, qat_storage=True),
+        ),
+    )
+    summary = _tiny_train(
+        cfg, dataset, centroid_table, str(tmp_path / "qat"), 3
+    )
+    assert np.isfinite(summary["monitored_value"])
+    assert summary["global_step"] >= 2
