@@ -253,6 +253,7 @@ class MicroBatcher:
         max_wait_ms: float = 8.0,
         buckets: Sequence[int] = (1, 4, 8, 16),
         predict_timeout_s: float = 1800.0,
+        linger_ms: float = 25.0,
     ):
         import queue
         import threading
@@ -260,6 +261,20 @@ class MicroBatcher:
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        # Rolling window: each arrival extends the collection deadline
+        # by linger_ms (bounded by the hard cap below), so requests
+        # STAGGERED by upstream decode/network still coalesce into one
+        # bucket instead of splitting into padded half-batches (the
+        # round-5 load run dispatched 72 bucket slots for 48 real
+        # requests at concurrency 8 with the fixed 8 ms window).
+        # Cost: a LONE request (idle service) waits the full linger
+        # window before dispatch — +~17 ms on this box's ~250 ms p50.
+        # Set linger_ms=0 to restore pure max_wait_ms behavior for
+        # latency-critical low-traffic deployments.
+        self.linger_s = linger_ms / 1000.0
+        # Hard cap on total collection time from the first arrival —
+        # bounds the latency a linger chain can add.
+        self.max_linger_total_s = max(self.max_wait_s, 8 * self.linger_s)
         self.buckets = sorted(buckets)
         assert self.max_batch <= self.buckets[-1]
         # Default covers the worst-case cold-bucket jit compile (remote
@@ -287,13 +302,25 @@ class MicroBatcher:
         while True:
             item = self._q.get()
             batch = [item]
-            deadline = time.perf_counter() + self.max_wait_s
+            t0 = time.perf_counter()
+            hard_deadline = t0 + self.max_linger_total_s
+            # the first arrival gets the linger window too — a fixed
+            # short base window can never coalesce arrivals staggered
+            # by more than itself (the 8 ms window split the round-5
+            # load run into padded half-batches)
+            deadline = t0 + max(self.max_wait_s, self.linger_s)
             while len(batch) < self.max_batch:
-                remaining = deadline - time.perf_counter()
+                remaining = min(deadline, hard_deadline) - time.perf_counter()
                 if remaining <= 0:
                     break
                 try:
                     batch.append(self._q.get(timeout=remaining))
+                    # rolling linger: another arrival means more are
+                    # likely in flight — extend the window (monotonic
+                    # max so linger_ms=0 degrades to the fixed window)
+                    deadline = max(
+                        deadline, time.perf_counter() + self.linger_s
+                    )
                 except queue.Empty:
                     break
             try:

@@ -148,3 +148,86 @@ def test_micro_batcher_warmup_compiles_buckets():
     mb.warmup()
     assert [s[0] for s in seen] == [1, 4, 8, 16]
     assert all(s[1:] == (4, 8, 8, 3) for s in seen)
+
+
+def test_micro_batcher_linger_coalesces_staggered_arrivals():
+    """Arrivals staggered past the base window (but within linger_ms of
+    each other) still coalesce into ONE batch — the rolling deadline
+    extends per arrival up to the hard cap."""
+    import concurrent.futures as cf
+    import time
+
+    import numpy as np
+
+    from geoguessr_ai_tpu.serving.engine import MicroBatcher
+
+    calls = []
+
+    class FakeEngine:
+        def predict_batch(self, views, view_mask=None):
+            calls.append(views.shape[0])
+            return [
+                int(views[b, 0, 0, 0, 0]) for b in range(views.shape[0])
+            ]
+
+    # base window 5 ms < the 30 ms stagger; linger 250 ms bridges it
+    # (wide margins: this 1-host-core box under load can delay thread
+    # wakeups by tens of ms — the feature needs stagger < linger with
+    # room for scheduling noise on both sides)
+    mb = MicroBatcher(
+        FakeEngine(), max_batch=8, max_wait_ms=5, linger_ms=250
+    )
+
+    def submit(i):
+        time.sleep(0.03 * i)  # stagger arrivals by 30 ms
+        v = np.full((4, 2, 2, 3), i, np.uint8)
+        return mb.predict(v)
+
+    with cf.ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(submit, i) for i in range(4)]
+        results = [f.result(timeout=10) for f in futs]
+    assert sorted(results) == list(range(4))
+    assert calls and calls[0] == 4, calls  # one coalesced batch of 4
+
+
+def test_micro_batcher_linger_hard_cap_bounds_latency():
+    """A continuous arrival stream cannot extend collection past the
+    hard cap (max(max_wait, 8*linger)) — the batch dispatches."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from geoguessr_ai_tpu.serving.engine import MicroBatcher
+
+    done = threading.Event()
+    calls = []
+
+    class FakeEngine:
+        def predict_batch(self, views, view_mask=None):
+            calls.append((time.perf_counter(), views.shape[0]))
+            return [0] * views.shape[0]
+
+    mb = MicroBatcher(
+        FakeEngine(), max_batch=64, buckets=(64,),
+        max_wait_ms=5, linger_ms=30,
+    )
+
+    def flood():
+        while not done.is_set():
+            try:
+                mb.predict(np.zeros((4, 2, 2, 3), np.uint8), timeout=5)
+            except Exception:
+                return
+
+    threads = [threading.Thread(target=flood, daemon=True) for _ in range(3)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(1.0)
+    done.set()
+    for t in threads:
+        t.join(timeout=5)
+    assert calls, "no batch ever dispatched under continuous arrivals"
+    # first dispatch within hard cap (8*30 ms = 240 ms) + scheduling slack
+    assert calls[0][0] - t0 < 0.8, calls[0][0] - t0
