@@ -1,17 +1,16 @@
 #!/usr/bin/env python
-"""Round-5 B>512 re-probe at the int8-storage production config.
+"""Re-measure embed batch >512 under the round-5 int8-storage config.
 
-The round-4 escape campaign proved embed B>512 was an honest HBM OOM
-(B=544 ran 805.6 < 981 img/s at B=512, paging against capacity) — but
-that was the bf16-activation program.  PROD_QUANT_SITES now stores the
-dw-conv inputs and the 3.2 GB stem boundary as int8, cutting the
-biggest resident activations in half, so the capacity wall has moved
-and the batch question re-opens (VERDICT r4 discipline: re-measure
-when the program changes under a closed verdict).
+The round-4 verdict "embed B>512 = honest HBM OOM (B=544 runs 805.6 <
+B=512)" was measured BEFORE the int8 activation-storage sites landed
+(dw/stem/localdw halve the dominant activation boundaries — the stem
+boundary alone dropped 3.2 GB -> 1.6 GB at B=512).  With that HBM
+freed, the capacity pressure that degraded B=544 may be gone, and the
+throughput-vs-batch curve may keep rising past 512.
 
-E2E ladder on the real chip: B=512 (same-process baseline), 576, 640 at
-the production program (fused 1+3 + noproj stage-2 + static int8 at
-fc1/fc2/dw/stem).
+E2E ladder, production program (fused 1+3, noproj 2, static int8 at
+PROD_QUANT_SITES), one process, fresh jit per batch size; B=512 is
+re-measured first as the same-session baseline.
 """
 import dataclasses
 import json
@@ -68,40 +67,52 @@ def main():
 
     model_q = TinyViT(dataclasses.replace(
         base_cfg, quant_mode="static", quant_sites=PROD_QUANT_SITES))
-    fwd = jax.jit(
-        lambda v, xx: model_q.apply({**v, "act_scales": scales}, xx))
+    fwd = jax.jit(lambda v, xx: model_q.apply(
+        {**v, "act_scales": scales}, xx))
 
     results = {}
-    for B in (512, 576, 640):
+    for B in (512, 544, 576, 640):
         try:
             x = jax.device_put(
-                jnp.zeros((B, 512, 512, 3), jnp.bfloat16), tpu)
-            ok = False
-            for attempt in range(3):
-                try:
-                    np.asarray(fwd(dvars, x)[0, 0:1])
-                    ok = True
+                jnp.asarray(
+                    rngd.normal(0, 1, (B, 512, 512, 3)).astype(
+                        np.float32
+                    ),
+                    jnp.bfloat16,
+                ),
+                tpu,
+            )
+        except Exception as e:  # noqa: BLE001
+            log(batch=B, upload_error=str(e)[:200])
+            continue
+        ok = False
+        for attempt in range(3):
+            try:
+                np.asarray(fwd(dvars, x)[0, 0:1])
+                ok = True
+                break
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                log(batch=B, compile_attempt=attempt, error=msg[:300])
+                if "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower():
                     break
-                except Exception as e:
-                    log(B=B, compile_attempt=attempt, error=str(e)[:200])
-                    time.sleep(20)
-            if not ok:
-                continue
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fwd(dvars, x)
-            np.asarray(out[0, 0:1])
-            dt = (time.perf_counter() - t0) / iters
-            img_s = B / dt
-            results[B] = img_s
-            log(B=B, ms=round(dt * 1e3, 2), img_s=round(img_s, 1),
-                panos_s=round(img_s / 4, 1))
+                time.sleep(20)
+        if not ok:
             del x
-        except Exception as e:
-            log(B=B, error=str(e)[:300])
+            continue
+        iters = 8
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(dvars, x)
+        np.asarray(out[0, 0:1])
+        dt = (time.perf_counter() - t0) / iters
+        img_s = B / dt
+        results[str(B)] = round(img_s, 1)
+        log(batch=B, ms=round(dt * 1e3, 2), img_s=round(img_s, 1),
+            panos_s=round(img_s / 4, 1))
+        del x
 
-    log(done=True, results={str(k): round(v, 1) for k, v in results.items()})
+    log(done=True, results=results)
 
 
 if __name__ == "__main__":
